@@ -1,0 +1,287 @@
+"""Uniform partitioned FFT convolution (frequency-delay line, overlap-add).
+
+TPU-native re-design of the reference ``FFTConvolver``
+(``src/fft_convolver.rs:86-307``).  The Rust engine mutates ring buffers in
+place; here the engine is a pure state-transition function
+
+    ``state, y = process_block(config, state, x)``
+
+with the state as a pytree (so it scans, vmaps, shards, and checkpoints for
+free) and all shapes static under ``jit``.  Semantics are bit-faithful to the
+reference, including the subtle ones:
+
+* ``init`` pads the IR to ``max_response_length`` so trailing all-zero
+  segments ARE active until the first ``update`` (``src/fft_convolver.rs:111-118``);
+* ``block_size`` is rounded up to the next power of two (``:115``),
+  FFT size is ``2 * block_size`` (``:116``);
+* the ring head ``current`` DECREMENTS and wraps to ``active_seg_count - 1``
+  (``:287-291``); ring reads are ``(current + i) % active_seg_count`` (``:248``);
+* ``update`` keeps the input history (``segments``, ``current``,
+  ``input_buffer``) but zeroes ``overlap``/accumulators and re-FFTs the IR
+  into existing storage (``:174-213``) — an RT-safe, allocation-free swap;
+* sub-block ``process`` calls re-run the forward FFT of the partially filled
+  input buffer so output has zero added latency (``:222-294``);
+* ``active_seg_count == 0`` outputs zeros and leaves state untouched (``:216-219``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.cpx import pmul
+from ..ops.fft import (
+    copy_and_pad,
+    ir_to_spectra,
+    irdft_block,
+    next_power_of_two,
+    rdft_block,
+)
+from ..ops.spectral import fdl_mac
+
+
+@dataclasses.dataclass(frozen=True)
+class UniformConfig:
+    """Static (trace-time) configuration of a uniform convolver.
+
+    Hashable so it can be a ``jit`` static argument; everything that varies
+    at runtime lives in :class:`UniformState`.
+    """
+
+    block_size: int          # power of two (reference rounds up, :115)
+    seg_count: int           # ceil(ir_len / block_size)               (:117)
+    ir_len: int              # max_response_length after padding       (:111-113)
+
+    @property
+    def fft_size(self) -> int:
+        return 2 * self.block_size
+
+    @property
+    def spec_shape(self) -> tuple:
+        # packed halfcomplex layout (see ops/fft.py): [2, block_size],
+        # Nyquist in im[0] — lane-aligned, no 129-bin padding waste
+        return (2, self.block_size)
+
+
+class UniformState(NamedTuple):
+    """Runtime state pytree — the struct fields of ``FFTConvolver``
+    (``src/fft_convolver.rs:86-102``) as fixed-shape arrays."""
+
+    segments: jnp.ndarray        # f32 [seg_count, 2, B] input spectra ring (packed)
+    segments_ir: jnp.ndarray     # f32 [seg_count, 2, B] IR partition spectra (packed)
+    overlap: jnp.ndarray         # f32 [block_size] OLA tail
+    input_buffer: jnp.ndarray    # f32 [block_size] sub-block accumulation
+    pre_multiplied: jnp.ndarray  # f32 [2, B] spectral accumulator (packed)
+    current: jnp.ndarray         # int32 [] ring head
+    input_fill: jnp.ndarray      # int32 [] valid samples in input_buffer
+    active_segs: jnp.ndarray     # int32 [] active partition count
+
+
+def make_config(block_size: int, max_response_length: int) -> UniformConfig:
+    block = next_power_of_two(block_size)
+    ir_len = max_response_length
+    seg_count = max(1, math.ceil(ir_len / block)) if ir_len > 0 else 1
+    return UniformConfig(block_size=block, seg_count=seg_count, ir_len=ir_len)
+
+
+def zero_state(cfg: UniformConfig) -> UniformState:
+    """All-zero state for ``cfg`` (segments_ir included, active = 0)."""
+    return UniformState(
+        segments=jnp.zeros((cfg.seg_count,) + cfg.spec_shape, jnp.float32),
+        segments_ir=jnp.zeros((cfg.seg_count,) + cfg.spec_shape, jnp.float32),
+        overlap=jnp.zeros((cfg.block_size,), jnp.float32),
+        input_buffer=jnp.zeros((cfg.block_size,), jnp.float32),
+        pre_multiplied=jnp.zeros(cfg.spec_shape, jnp.float32),
+        current=jnp.zeros((), jnp.int32),
+        input_fill=jnp.zeros((), jnp.int32),
+        active_segs=jnp.zeros((), jnp.int32),
+    )
+
+
+def init(
+    response: jnp.ndarray, block_size: int, max_response_length: int
+) -> Tuple[UniformConfig, UniformState]:
+    """``Convolution::init`` (``src/fft_convolver.rs:105-172``).
+
+    Raises ``ValueError`` where the reference panics (``:106-110``).
+
+    Built as ``update`` applied to a zero state so that init-time and
+    update-time IR spectra come from the *same* program — the reference
+    gets this for free by sharing one code path (``:131-142`` vs
+    ``:193-207``); with XLA, eager-vs-jit rounding differences would
+    otherwise break the 1e-6 equivalence contract of
+    ``fft_convolver_update_is_reset`` (``src/tests.rs:18-59``).
+    """
+    response = jnp.asarray(response, jnp.float32)
+    if max_response_length < response.shape[0]:
+        raise ValueError(
+            "max_response_length must be at least the length of the initial "
+            "impulse response"
+        )
+    cfg = make_config(block_size, max_response_length)
+    padded = copy_and_pad(response, cfg.seg_count * cfg.block_size)
+    # active = ceil(ir_len / B): trailing zero segments are live (:117-118)
+    state = update(
+        cfg, zero_state(cfg), padded, jnp.asarray(cfg.ir_len, jnp.int32)
+    )
+    return cfg, state
+
+
+def empty(block_size: int) -> Tuple[UniformConfig, UniformState]:
+    """``FFTConvolver::default()`` — an engine with ``active_seg_count == 0``
+    that outputs zeros (used for absent two-stage tail stages,
+    ``src/fft_convolver.rs:367,383``)."""
+    cfg = make_config(block_size, 0)
+    _, state = init(jnp.zeros((0,), jnp.float32), block_size, block_size)
+    state = state._replace(active_segs=jnp.zeros((), jnp.int32))
+    return cfg, state
+
+
+def update(cfg: UniformConfig, state: UniformState, response_padded: jnp.ndarray,
+           new_len: jnp.ndarray) -> UniformState:
+    """RT-safe IR swap (``src/fft_convolver.rs:174-213``), jittable.
+
+    ``response_padded`` must be the new IR zero-padded to ``cfg.ir_len``
+    (host wrapper enforces the length-check panic, ``:177-179``);
+    ``new_len`` is the actual (traced) response length.
+
+    Keeps input history (``segments``, ``current``, ``input_buffer``,
+    ``input_fill``) so past input keeps convolving with the NEW IR;
+    discards the one-block OLA tail and accumulators (``:185-188``).
+    Zero-padding of ``response_padded`` makes the re-FFT of segments past
+    the new active count produce zeros, matching the explicit clear at
+    ``:210-212``.
+    """
+    new_active = jnp.ceil(new_len.astype(jnp.float32) / cfg.block_size).astype(jnp.int32)
+    segments_ir = ir_to_spectra(response_padded, cfg.block_size, cfg.seg_count)
+    return state._replace(
+        segments_ir=segments_ir,
+        overlap=jnp.zeros_like(state.overlap),
+        pre_multiplied=jnp.zeros_like(state.pre_multiplied),
+        active_segs=new_active,
+    )
+
+
+def reset(state: UniformState) -> UniformState:
+    """``Convolution::reset`` (``src/fft_convolver.rs:296-307``): clears all
+    input-side state, keeps ``segments_ir`` and ``active_segs``."""
+    return state._replace(
+        segments=jnp.zeros_like(state.segments),
+        overlap=jnp.zeros_like(state.overlap),
+        input_buffer=jnp.zeros_like(state.input_buffer),
+        pre_multiplied=jnp.zeros_like(state.pre_multiplied),
+        current=jnp.zeros_like(state.current),
+        input_fill=jnp.zeros_like(state.input_fill),
+    )
+
+
+def _engine_step(cfg: UniformConfig, state: UniformState, buffer_spec: jnp.ndarray,
+                 recompute_pre: jnp.ndarray) -> Tuple[UniformState, jnp.ndarray]:
+    """Shared spectral core of a (sub-)block: write the forward spectrum into
+    the ring, form ``conv = pre_multiplied + segments[current] * ir[0]``, and
+    inverse-transform (``src/fft_convolver.rs:234-267``).
+
+    Returns updated state (ring + pre_multiplied) and the full ``2B`` IFFT
+    buffer (overlap handling differs between block/sub-block callers).
+    """
+    segments = jax.lax.dynamic_update_index_in_dim(
+        state.segments, buffer_spec, state.current, axis=0
+    )
+    pre = jax.lax.cond(
+        recompute_pre,
+        lambda: fdl_mac(segments, state.segments_ir, state.current, state.active_segs),
+        lambda: state.pre_multiplied,
+    )
+    conv = pre + pmul(buffer_spec, state.segments_ir[0])
+    fft_buffer = irdft_block(conv, cfg.fft_size)
+    return state._replace(segments=segments, pre_multiplied=pre), fft_buffer
+
+
+def _advance_ring(state: UniformState, fft_buffer: jnp.ndarray) -> UniformState:
+    """Block-completion bookkeeping (``src/fft_convolver.rs:278-292``):
+    clear the input buffer, save the new overlap, decrement the ring head."""
+    b = state.overlap.shape[0]
+    current = jnp.where(
+        state.current > 0, state.current - 1, state.active_segs - 1
+    ).astype(jnp.int32)
+    return state._replace(
+        input_buffer=jnp.zeros_like(state.input_buffer),
+        input_fill=jnp.zeros_like(state.input_fill),
+        overlap=fft_buffer[b:],
+        current=current,
+    )
+
+
+def process_block(cfg: UniformConfig, state: UniformState,
+                  x: jnp.ndarray) -> Tuple[UniformState, jnp.ndarray]:
+    """Process exactly one full block of ``block_size`` samples.
+
+    Fast path of ``process`` (``src/fft_convolver.rs:215-295``) for the
+    block-aligned streaming case (``input_buffer`` empty, one full block):
+    one iteration of the reference while-loop with
+    ``input_buffer_was_empty == true``.
+    """
+
+    def inactive() -> Tuple[UniformState, jnp.ndarray]:
+        return state, jnp.zeros((cfg.block_size,), jnp.float32)
+
+    def active() -> Tuple[UniformState, jnp.ndarray]:
+        spec = rdft_block(x, cfg.fft_size)
+        st, fft_buffer = _engine_step(cfg, state, spec, jnp.asarray(True))
+        y = fft_buffer[: cfg.block_size] + state.overlap
+        return _advance_ring(st, fft_buffer), y
+
+    return jax.lax.cond(state.active_segs == 0, inactive, active)
+
+
+def process_partial(cfg: UniformConfig, state: UniformState, chunk_padded: jnp.ndarray,
+                    length: jnp.ndarray) -> Tuple[UniformState, jnp.ndarray]:
+    """One iteration of the reference sub-block while-loop
+    (``src/fft_convolver.rs:222-294``) for arbitrary chunk sizes.
+
+    ``chunk_padded`` is the chunk left-aligned in a ``[block_size]`` buffer;
+    ``length`` (traced) is the valid sample count, guaranteed by the host
+    chunker to satisfy ``input_fill + length <= block_size``.  Returns the
+    full ``block_size`` output lane ``fft_buffer[:B] + overlap``; the caller
+    slices ``[input_fill : input_fill+length]`` out of it.
+    """
+    b = cfg.block_size
+
+    def inactive() -> Tuple[UniformState, jnp.ndarray]:
+        return state, jnp.zeros((b,), jnp.float32)
+
+    def active() -> Tuple[UniformState, jnp.ndarray]:
+        offset = state.input_fill
+        pos = jnp.arange(b, dtype=jnp.int32)
+        take = (pos >= offset) & (pos < offset + length)
+        shifted = jnp.roll(chunk_padded, offset)
+        input_buffer = jnp.where(take, shifted, state.input_buffer)
+        spec = rdft_block(input_buffer, cfg.fft_size)
+        st = state._replace(input_buffer=input_buffer)
+        st, fft_buffer = _engine_step(cfg, st, spec, offset == 0)
+        y_full = fft_buffer[:b] + state.overlap
+        fill = offset + length
+        st = st._replace(input_fill=fill.astype(jnp.int32))
+        st = jax.lax.cond(
+            fill == b, lambda s: _advance_ring(s, fft_buffer), lambda s: s, st
+        )
+        return st, y_full
+
+    return jax.lax.cond(state.active_segs == 0, inactive, active)
+
+
+def process_stream(cfg: UniformConfig, state: UniformState,
+                   blocks: jnp.ndarray) -> Tuple[UniformState, jnp.ndarray]:
+    """Scan :func:`process_block` over a ``[T, block_size]`` stream — the
+    TPU-native replacement for the caller's audio-callback loop
+    (``examples/compare_partitioned.rs:30-48``): one compiled program for the
+    whole stream instead of T dispatches."""
+
+    def step(st, x):
+        return process_block(cfg, st, x)
+
+    return jax.lax.scan(step, state, blocks)

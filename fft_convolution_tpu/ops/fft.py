@@ -1,0 +1,250 @@
+"""Real-DFT engine and DSP helpers — TPU-native counterpart of the
+reference's L0 layer (``src/fft_convolver.rs:8-84``).
+
+The reference wraps ``realfft``/``rustfft`` CPU plans (``src/fft_convolver.rs:8-50``).
+On this TPU backend the FFT HLO and the complex dtype are both unavailable,
+and they would be the wrong tool anyway: the MXU is a 128x128 systolic array
+that does dense matmuls at speed-of-light, so the TPU-native transform is a
+**DFT-as-matmul**:
+
+* small transforms (n <= ``_DIRECT_MAX``) are a single real matmul against a
+  precomputed ``[n, 2B]`` basis;
+* large transforms use Bailey's 4-step factorization ``n = n1 * n2``: an
+  ``n2``-point DFT stage (matmul), a twiddle multiply (VPU), and an
+  ``n1``-point DFT stage (matmul) — every stage is MXU-shaped.
+
+Spectra use the classic *halfcomplex packing*: a real transform of length
+``n = 2B`` has ``B+1`` bins, of which bins 0 and B (DC, Nyquist) are purely
+real.  We store ``re[0..B-1]`` and ``im[0..B-1]`` with ``im[0]`` holding the
+Nyquist real value, giving a ``[..., 2, B]`` array whose last dim is the
+block size — a multiple of the TPU's 128-lane width with **zero padding
+waste** (vs. the B+1 = 129-bin layout that would force padding to 256).
+All complex arithmetic is decomposed into real VPU ops in ``cpx.py``.
+
+Normalization matches the reference: unnormalized forward
+(``Fft::forward``, ``src/fft_convolver.rs:36-39``), ``1/n`` on the inverse
+(``Fft::inverse``, ``:41-49``).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# Largest transform done as one direct basis matmul. Above this, the 4-step
+# factorization keeps the basis O(sqrt(n)^2) and the error O(log n) stages.
+_DIRECT_MAX = 1024
+
+
+def complex_size(size: int) -> int:
+    """Number of rFFT bins for a real transform of length ``size``
+    (``complex_size``, ``src/fft_convolver.rs:52-54``).  The packed layout
+    stores the same information in ``size // 2`` lanes."""
+    return size // 2 + 1
+
+
+def next_power_of_two(n: int) -> int:
+    """Smallest power of two >= n (n=0 -> 1), matching Rust's
+    ``usize::next_power_of_two`` (``src/fft_convolver.rs:115,525``)."""
+    if n <= 1:
+        return 1
+    return 1 << (int(n) - 1).bit_length()
+
+
+def copy_and_pad(src: jnp.ndarray, total: int) -> jnp.ndarray:
+    """Copy ``src`` and zero-fill to length ``total``
+    (``copy_and_pad``, ``src/fft_convolver.rs:56-60``)."""
+    src = jnp.asarray(src)
+    if src.shape[-1] > total:
+        raise ValueError(f"src longer ({src.shape[-1]}) than pad target {total}")
+    pad = [(0, 0)] * (src.ndim - 1) + [(0, total - src.shape[-1])]
+    return jnp.pad(src, pad)
+
+
+def _split_factors(n: int) -> tuple[int, int]:
+    """n = n1 * n2 with n1 >= n2, both powers of two near sqrt(n)."""
+    m = n.bit_length() - 1
+    n1 = 1 << ((m + 1) // 2)
+    return n1, n // n1
+
+
+# ---------------------------------------------------------------------------
+# basis construction (host-side, float64 -> float32 for maximum basis accuracy)
+# ---------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=None)
+def _rdft_basis(n: int) -> np.ndarray:
+    """Forward packed-rDFT basis F [n, 2B]: ``x @ F -> [re | im]`` with
+    ``im[0]`` = Nyquist.  Unnormalized forward transform."""
+    b = n // 2
+    i = np.arange(n, dtype=np.float64)[:, None]
+    k = np.arange(b, dtype=np.float64)[None, :]
+    ang = 2.0 * np.pi * i * k / n
+    cos = np.cos(ang)
+    sin = -np.sin(ang)
+    sin[:, 0] = np.cos(np.pi * i[:, 0])  # Nyquist real part in im[0]
+    return np.concatenate([cos, sin], axis=1).astype(np.float32)
+
+
+@functools.lru_cache(maxsize=None)
+def _irdft_basis(n: int) -> np.ndarray:
+    """Inverse packed-rDFT basis G [2B, n]: ``packed @ G -> x``; includes the
+    reference's 1/n normalization (``src/fft_convolver.rs:44-46``)."""
+    b = n // 2
+    i = np.arange(n, dtype=np.float64)[None, :]
+    k = np.arange(b, dtype=np.float64)[:, None]
+    ang = 2.0 * np.pi * k * i / n
+    cos_rows = 2.0 * np.cos(ang) / n
+    cos_rows[0, :] = 1.0 / n                      # DC counted once
+    sin_rows = -2.0 * np.sin(ang) / n
+    sin_rows[0, :] = np.cos(np.pi * i[0, :]) / n  # Nyquist row from im[0]
+    return np.concatenate([cos_rows, sin_rows], axis=0).astype(np.float32)
+
+
+@functools.lru_cache(maxsize=None)
+def _dft_mats(m: int, sign: float) -> tuple[np.ndarray, np.ndarray]:
+    """m-point DFT matrix (cos, sin) with exponent sign (-1 fwd, +1 inv)."""
+    i = np.arange(m, dtype=np.float64)
+    ang = 2.0 * np.pi * np.outer(i, i) / m
+    return (
+        np.cos(ang).astype(np.float32),
+        (sign * np.sin(ang)).astype(np.float32),
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def _twiddles(n: int, sign: float) -> tuple[np.ndarray, np.ndarray]:
+    """4-step twiddle factors w^(i1*k2), shaped [k2=n2, i1=n1]."""
+    n1, n2 = _split_factors(n)
+    k2 = np.arange(n2, dtype=np.float64)[:, None]
+    i1 = np.arange(n1, dtype=np.float64)[None, :]
+    ang = 2.0 * np.pi * k2 * i1 / n
+    return np.cos(ang).astype(np.float32), (sign * np.sin(ang)).astype(np.float32)
+
+
+# ---------------------------------------------------------------------------
+# transforms
+# ---------------------------------------------------------------------------
+
+def _rdft_direct(x: jnp.ndarray, n: int) -> jnp.ndarray:
+    basis = jnp.asarray(_rdft_basis(n))
+    packed = jnp.matmul(x, basis, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
+    return packed.reshape(x.shape[:-1] + (2, n // 2))
+
+
+def _irdft_direct(p: jnp.ndarray, n: int) -> jnp.ndarray:
+    basis = jnp.asarray(_irdft_basis(n))
+    flat = p.reshape(p.shape[:-2] + (n,))
+    return jnp.matmul(flat, basis, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
+
+
+def _dft4_real(x: jnp.ndarray, n: int) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Bailey 4-step forward DFT of real input over the last axis.
+
+    Returns full-spectrum (re, im), each [..., n].  Stage 1 exploits the
+    real input (2 matmuls instead of 4); everything lands on the MXU.
+    """
+    n1, n2 = _split_factors(n)
+    batch = x.shape[:-1]
+    a = x.reshape(batch + (n2, n1))                       # A[i2, i1]
+    c2, s2 = (jnp.asarray(m) for m in _dft_mats(n2, -1.0))
+    # stage 1: DFT_n2 along i2 -> G[k2, i1]
+    g_re = jnp.einsum("ki,...ij->...kj", c2, a, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
+    g_im = jnp.einsum("ki,...ij->...kj", s2, a, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
+    # stage 2: twiddle w^(i1*k2)
+    t_re, t_im = (jnp.asarray(m) for m in _twiddles(n, -1.0))
+    h_re = g_re * t_re - g_im * t_im
+    h_im = g_re * t_im + g_im * t_re
+    # stage 3: DFT_n1 along i1 -> Y[k2, k1]
+    c1, s1 = (jnp.asarray(m) for m in _dft_mats(n1, -1.0))
+    y_re = jnp.matmul(h_re, c1, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST) - jnp.matmul(
+        h_im, s1, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST
+    )
+    y_im = jnp.matmul(h_re, s1, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST) + jnp.matmul(
+        h_im, c1, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST
+    )
+    # X[k1*n2 + k2] = Y[k2, k1]
+    re = jnp.swapaxes(y_re, -1, -2).reshape(batch + (n,))
+    im = jnp.swapaxes(y_im, -1, -2).reshape(batch + (n,))
+    return re, im
+
+
+def _rdft_4step(x: jnp.ndarray, n: int) -> jnp.ndarray:
+    b = n // 2
+    re, im = _dft4_real(x, n)
+    p_re = re[..., :b]
+    p_im = jnp.concatenate([re[..., b : b + 1], im[..., 1:b]], axis=-1)
+    return jnp.stack([p_re, p_im], axis=-2)
+
+
+def _irdft_4step(p: jnp.ndarray, n: int) -> jnp.ndarray:
+    """Inverse via Hermitian extension + inverse 4-step, real output only
+    (final stage computes just the real part: 2 matmuls)."""
+    b = n // 2
+    batch = p.shape[:-2]
+    p_re, p_im = p[..., 0, :], p[..., 1, :]
+    nyq = p_im[..., :1]
+    zeros = jnp.zeros_like(nyq)
+    re_full = jnp.concatenate([p_re, nyq, p_re[..., :0:-1]], axis=-1)
+    im_full = jnp.concatenate(
+        [zeros, p_im[..., 1:], zeros, -p_im[..., :0:-1]], axis=-1
+    )
+    n1, n2 = _split_factors(n)
+    a_re = re_full.reshape(batch + (n2, n1))
+    a_im = im_full.reshape(batch + (n2, n1))
+    c2, s2 = (jnp.asarray(m) for m in _dft_mats(n2, 1.0))
+    g_re = jnp.einsum("ki,...ij->...kj", c2, a_re, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST) - jnp.einsum(
+        "ki,...ij->...kj", s2, a_im, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST
+    )
+    g_im = jnp.einsum("ki,...ij->...kj", c2, a_im, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST) + jnp.einsum(
+        "ki,...ij->...kj", s2, a_re, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST
+    )
+    t_re, t_im = (jnp.asarray(m) for m in _twiddles(n, 1.0))
+    h_re = g_re * t_re - g_im * t_im
+    h_im = g_re * t_im + g_im * t_re
+    c1, s1 = (jnp.asarray(m) for m in _dft_mats(n1, 1.0))
+    y_re = jnp.matmul(h_re, c1, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST) - jnp.matmul(
+        h_im, s1, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST
+    )
+    out = jnp.swapaxes(y_re, -1, -2).reshape(batch + (n,))
+    return out / n
+
+
+def rdft_block(x: jnp.ndarray, fft_size: int) -> jnp.ndarray:
+    """Forward packed real DFT of a block zero-padded to ``fft_size``.
+
+    Equivalent to ``copy_and_pad`` + ``Fft::forward``
+    (``src/fft_convolver.rs:36-39,56-60``).  Last axis is the transform;
+    leading axes batch (and batch straight onto the MXU)."""
+    x = jnp.asarray(x, jnp.float32)
+    x = copy_and_pad(x, fft_size)
+    if fft_size <= _DIRECT_MAX:
+        return _rdft_direct(x, fft_size)
+    return _rdft_4step(x, fft_size)
+
+
+def irdft_block(p: jnp.ndarray, fft_size: int) -> jnp.ndarray:
+    """Inverse packed real DFT with 1/n normalization, matching
+    ``Fft::inverse`` (``src/fft_convolver.rs:41-49``)."""
+    if fft_size <= _DIRECT_MAX:
+        return _irdft_direct(p, fft_size)
+    return _irdft_4step(p, fft_size)
+
+
+def ir_to_spectra(ir_padded: jnp.ndarray, block_size: int, seg_count: int) -> jnp.ndarray:
+    """Partition an IR into ``seg_count`` blocks and transform each, zero-
+    padded to ``2*block_size`` — one batched MXU matmul replacing the
+    reference's per-segment loop (``src/fft_convolver.rs:131-142``).
+    Returns packed spectra [seg_count, 2, block_size]."""
+    segs = jnp.reshape(jnp.asarray(ir_padded, jnp.float32), (seg_count, block_size))
+    return rdft_block(segs, 2 * block_size)
+
+
+def generate_sinusoid(num_samples: int, freq: float, sample_rate: float, gain: float) -> np.ndarray:
+    """Test-signal generator mirroring ``examples/util/mod.rs:7-19`` /
+    ``src/tests.rs:9-16`` (computed in float64, cast to float32)."""
+    i = np.arange(num_samples, dtype=np.float64)
+    return (gain * np.sin(2.0 * np.pi * freq * i / sample_rate)).astype(np.float32)
