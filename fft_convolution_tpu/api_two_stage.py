@@ -1,0 +1,111 @@
+"""Stateful wrapper for the two-stage convolver — the ``Convolution``
+implementation of ``TwoStageFFTConvolver`` (``src/fft_convolver.rs:339-512``).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .models import two_stage, uniform
+
+
+@functools.lru_cache(maxsize=None)
+def _jit_block(cfg: two_stage.TwoStageConfig):
+    return jax.jit(functools.partial(two_stage.process_block, cfg))
+
+
+@functools.lru_cache(maxsize=None)
+def _jit_partial(cfg: two_stage.TwoStageConfig):
+    return jax.jit(functools.partial(two_stage.process_partial, cfg))
+
+
+@functools.lru_cache(maxsize=None)
+def _jit_stream(cfg: two_stage.TwoStageConfig):
+    return jax.jit(functools.partial(two_stage.process_stream, cfg))
+
+
+@functools.lru_cache(maxsize=None)
+def _jit_reset(cfg: two_stage.TwoStageConfig):
+    return jax.jit(functools.partial(two_stage.reset, cfg))
+
+
+class TwoStageFFTConvolver:
+    """Non-uniform (head/tail) partitioned convolution engine.
+
+    The reference restricts ``process`` to ``input.len() <= head_block_size``
+    (assert at ``src/fft_convolver.rs:414``).  This wrapper accepts that
+    surface and, as a documented extension, also accepts longer block-aligned
+    streams (processed head-block by head-block through the scanned fast
+    path) — the natural TPU streaming call.
+    """
+
+    def __init__(self, response, block_size: int, max_response_length: int):
+        if block_size & (block_size - 1) or block_size == 0:
+            # The jitted schedule indexes period buffers at head-block
+            # granularity; non-pow2 heads would need the reference's
+            # sample-level re-chunking. Explicit > silently wrong.
+            raise ValueError("TwoStageFFTConvolver requires a power-of-two block_size")
+        self.cfg, self.state = two_stage.init(response, block_size, max_response_length)
+        self._fill = 0  # host shadow of tail_input_fill % head_block
+
+    def update(self, response) -> None:
+        """``todo!()`` in the reference (``src/fft_convolver.rs:408-410``) —
+        surface matched.  Use :class:`CrossfadeConvolver` for live IR swaps."""
+        raise NotImplementedError(
+            "TwoStageFFTConvolver.update is unimplemented upstream "
+            "(src/fft_convolver.rs:408-410); wrap in CrossfadeConvolver "
+            "for artifact-free IR switching"
+        )
+
+    def reset(self) -> None:
+        self.state = _jit_reset(self.cfg)(self.state)
+        self._fill = 0
+
+    def process(self, input) -> np.ndarray:
+        x = np.asarray(input, np.float32)
+        n = x.shape[0]
+        b = self.cfg.head_block
+        if n == 0:
+            return np.zeros((0,), np.float32)
+        if self._fill == 0 and n % b == 0:
+            self.state, y = _jit_stream(self.cfg)(self.state, jnp.reshape(x, (-1, b)))
+            return np.asarray(y).reshape(-1)
+        return self._process_chunked(x)
+
+    def _process_chunked(self, x: np.ndarray) -> np.ndarray:
+        b = self.cfg.head_block
+        n = x.shape[0]
+        out = np.empty(n, np.float32)
+        partial = _jit_partial(self.cfg)
+        processed = 0
+        while processed < n:
+            processing = min(n - processed, b - self._fill)
+            chunk = np.zeros(b, np.float32)
+            chunk[:processing] = x[processed : processed + processing]
+            offset = self._fill
+            self.state, y_full = partial(
+                self.state, jnp.asarray(chunk), jnp.asarray(processing, jnp.int32)
+            )
+            out[processed : processed + processing] = np.asarray(y_full)[
+                offset : offset + processing
+            ]
+            self._fill = (self._fill + processing) % b
+            processed += processing
+        return out
+
+    def snapshot(self):
+        return (self.state, self._fill)
+
+    def restore(self, snap) -> None:
+        self.state, self._fill = snap
+
+    def clone(self) -> "TwoStageFFTConvolver":
+        other = object.__new__(TwoStageFFTConvolver)
+        other.cfg = self.cfg
+        other.state = self.state
+        other._fill = self._fill
+        return other

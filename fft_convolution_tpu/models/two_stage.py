@@ -1,0 +1,343 @@
+"""Two-stage (non-uniform partition) FFT convolution.
+
+TPU-native re-design of ``TwoStageFFTConvolver``
+(``src/fft_convolver.rs:323-526``): a small-block *head* convolver gives low
+latency while two large-block *tail* stages give efficiency, with the tail
+outputs precomputed one period ahead (double-buffered) so the per-block cost
+stays flat.  García's closed form picks the optimal tail block size
+(``compute_tail_block_size``, ``:516-526``).
+
+The reference schedules the stages with data-dependent ifs inside its
+while-loop; here the schedule is a pure function of the intra-period position
+carried in the state, expressed with ``lax.cond`` on scalars so the whole
+step stays one compiled program — the heavy tail FFT executes only on the
+block that completes a period, exactly like the reference's
+``std::mem::swap`` double-buffer dance (``:473-486``).
+
+IR split (``:352-384``):
+* head:   ``ir[0 .. min(max_len, T)]``           at ``head_block``
+* tail0:  ``ir[T .. T + min(max_len - T, T)]``   at ``head_block``
+* tail:   ``ir[2T ..]``                          at ``tail_block``
+where ``T = tail_block``.  Absent stages are Default (zero-output) engines.
+
+``update`` is ``todo!()`` in the reference (``:408-410``); we match the
+surface with ``NotImplementedError`` (live IR switching goes through the
+crossfade wrapper, as upstream intends).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.fft import next_power_of_two
+from . import uniform
+
+# FFT cost constant k relative to a multiply-add, as suggested by García and
+# used verbatim by the reference (``src/fft_convolver.rs:514-516``).
+FFT_K = 1.5
+
+
+def compute_tail_block_size(head_len: int, response_len: int) -> int:
+    """García's optimal two-stage partition ("Optimal Filter Partition for
+    Efficient Convolution with Short Input/Output Delay") — float32 math
+    matching ``src/fft_convolver.rs:520-526`` exactly."""
+    kn = np.float32(FFT_K * head_len) / np.float32(2.0 * np.log(2.0))
+    b = -kn + np.float32(np.sqrt(np.float32(kn * kn) + np.float32(response_len) * np.float32(head_len)))
+    b = max(float(b), float(head_len))
+    return next_power_of_two(int(b))
+
+
+@dataclasses.dataclass(frozen=True)
+class TwoStageConfig:
+    head_block: int
+    tail_block: int
+    head: uniform.UniformConfig
+    tail0: Optional[uniform.UniformConfig]   # None when max_len <= tail_block
+    tail: Optional[uniform.UniformConfig]    # None when max_len <= 2*tail_block
+
+    @property
+    def period(self) -> int:
+        """Head blocks per tail period."""
+        return self.tail_block // self.head_block
+
+
+class TwoStageState(NamedTuple):
+    """``TwoStageFFTConvolver`` struct fields (``src/fft_convolver.rs:324-337``)."""
+
+    head: uniform.UniformState
+    tail0: uniform.UniformState
+    tail: uniform.UniformState
+    tail_output0: jnp.ndarray       # f32 [tail_block]
+    tail_precalc0: jnp.ndarray      # f32 [tail_block]
+    tail_output: jnp.ndarray        # f32 [tail_block]
+    tail_precalc: jnp.ndarray       # f32 [tail_block]
+    tail_input: jnp.ndarray         # f32 [tail_block]
+    tail_fill: jnp.ndarray          # i32 []
+    precalc_pos: jnp.ndarray        # i32 []
+
+
+def init(
+    response: jnp.ndarray, block_size: int, max_response_length: int
+) -> Tuple[TwoStageConfig, TwoStageState]:
+    """``Convolution::init`` (``src/fft_convolver.rs:340-406``)."""
+    response = np.asarray(response, np.float32)
+    if max_response_length < response.shape[0]:
+        raise ValueError(
+            "max_response_length must be at least the length of the initial "
+            "impulse response"
+        )
+    head_block = block_size
+    tail_block = compute_tail_block_size(block_size, max_response_length)
+    padded = np.zeros(max_response_length, np.float32)
+    padded[: response.shape[0]] = response
+
+    head_ir_len = min(max_response_length, tail_block)
+    head_cfg, head_state = uniform.init(padded[:head_ir_len], head_block, head_ir_len)
+
+    if max_response_length > tail_block:
+        t0_len = min(max_response_length - tail_block, tail_block)
+        tail0_cfg, tail0_state = uniform.init(
+            padded[tail_block : tail_block + t0_len], head_block, t0_len
+        )
+    else:
+        tail0_cfg, tail0_state = None, None
+    if tail0_cfg is None:
+        _, tail0_state = uniform.empty(head_block)
+
+    if max_response_length > 2 * tail_block:
+        t_len = max_response_length - 2 * tail_block
+        tail_cfg, tail_state = uniform.init(
+            padded[2 * tail_block :], tail_block, t_len
+        )
+    else:
+        tail_cfg, tail_state = None, None
+    if tail_cfg is None:
+        _, tail_state = uniform.empty(tail_block)
+
+    cfg = TwoStageConfig(
+        head_block=head_block,
+        tail_block=tail_block,
+        head=head_cfg,
+        tail0=tail0_cfg,
+        tail=tail_cfg,
+    )
+    zeros_t = jnp.zeros((tail_block,), jnp.float32)
+    state = TwoStageState(
+        head=head_state,
+        tail0=tail0_state,
+        tail=tail_state,
+        tail_output0=zeros_t,
+        tail_precalc0=zeros_t,
+        tail_output=zeros_t,
+        tail_precalc=zeros_t,
+        tail_input=zeros_t,
+        tail_fill=jnp.zeros((), jnp.int32),
+        precalc_pos=jnp.zeros((), jnp.int32),
+    )
+    return cfg, state
+
+
+def reset(cfg: TwoStageConfig, state: TwoStageState) -> TwoStageState:
+    """``Convolution::reset`` (``src/fft_convolver.rs:497-511``)."""
+    zeros_t = jnp.zeros_like(state.tail_input)
+    return TwoStageState(
+        head=uniform.reset(state.head),
+        tail0=uniform.reset(state.tail0),
+        tail=uniform.reset(state.tail),
+        tail_output0=zeros_t,
+        tail_precalc0=zeros_t,
+        tail_output=zeros_t,
+        tail_precalc=zeros_t,
+        tail_input=zeros_t,
+        tail_fill=jnp.zeros((), jnp.int32),
+        precalc_pos=jnp.zeros((), jnp.int32),
+    )
+
+
+def process_block(cfg: TwoStageConfig, state: TwoStageState,
+                  x: jnp.ndarray) -> Tuple[TwoStageState, jnp.ndarray]:
+    """Process one full head block (``src/fft_convolver.rs:412-495``; the
+    reference asserts ``input.len() <= head_block_size`` at ``:414``, and
+    its own tests/benchmark always pass full blocks — the host wrapper
+    handles smaller chunks).
+
+    One iteration of the reference while-loop with ``processing ==
+    head_block_size``: sum in both precalculated tail buffers at
+    ``precalculated_pos`` (``:439-456``), append to the period input
+    (``:459-461``), advance tail0 by one head block (``:464-476``), and at
+    period end double-swap both precalc buffers and run the big tail
+    convolver over the full period (``:479-491``).
+    """
+    b = cfg.head_block
+    tb = cfg.tail_block
+
+    head_state, y = uniform.process_block(cfg.head, state.head, x)
+
+    pos = state.precalc_pos
+    # Sum: 1st and 2nd-Nth tail blocks (:439-456). Buffers always exist
+    # (allocated at tail_block, :370-371,386-387); absent stages leave zeros.
+    y = y + jax.lax.dynamic_slice(state.tail_precalc0, (pos,), (b,))
+    y = y + jax.lax.dynamic_slice(state.tail_precalc, (pos,), (b,))
+
+    tail_input = jax.lax.dynamic_update_slice(state.tail_input, x, (state.tail_fill,))
+    fill = state.tail_fill + b
+    period_end = fill == tb
+
+    # Convolution: 1st tail block — one head-block step per call (:464-476)
+    if cfg.tail0 is not None:
+        tail0_state, out0 = uniform.process_block(cfg.tail0, state.tail0, x)
+        tail_output0 = jax.lax.dynamic_update_slice(
+            state.tail_output0, out0, (state.tail_fill,)
+        )
+        tail_precalc0, tail_output0 = jax.lax.cond(
+            period_end,
+            lambda p, o: (o, p),
+            lambda p, o: (p, o),
+            state.tail_precalc0, tail_output0,
+        )
+    else:
+        tail0_state = state.tail0
+        tail_precalc0, tail_output0 = state.tail_precalc0, state.tail_output0
+
+    # Convolution: 2nd-Nth tail blocks — the reference notes this "might be
+    # done in some background thread" (:478); here it is a conditionally
+    # executed large-block kernel inside the same compiled step (:479-486)
+    if cfg.tail is not None:
+        def run_tail(op):
+            t_state, t_out, _t_pre, t_in = op
+            new_state, new_out = uniform.process_block(cfg.tail, t_state, t_in)
+            return new_state, new_out, t_out  # precalc <- old output (swap)
+
+        def skip_tail(op):
+            t_state, t_out, t_pre, _t_in = op
+            return t_state, t_out, t_pre
+
+        tail_state, tail_output, tail_precalc = jax.lax.cond(
+            period_end, run_tail, skip_tail,
+            (state.tail, state.tail_output, state.tail_precalc, tail_input),
+        )
+    else:
+        tail_state = state.tail
+        tail_output, tail_precalc = state.tail_output, state.tail_precalc
+
+    # period-end counter reset (:488-491)
+    new_fill = jnp.where(period_end, 0, fill).astype(jnp.int32)
+    new_pos = jnp.where(period_end, 0, pos + b).astype(jnp.int32)
+
+    return TwoStageState(
+        head=head_state,
+        tail0=tail0_state,
+        tail=tail_state,
+        tail_output0=tail_output0,
+        tail_precalc0=tail_precalc0,
+        tail_output=tail_output,
+        tail_precalc=tail_precalc,
+        tail_input=tail_input,
+        tail_fill=new_fill,
+        precalc_pos=new_pos,
+    ), y
+
+
+def process_partial(cfg: TwoStageConfig, state: TwoStageState,
+                    chunk_padded: jnp.ndarray, length: jnp.ndarray
+                    ) -> Tuple[TwoStageState, jnp.ndarray]:
+    """One iteration of the reference sub-block while-loop
+    (``src/fft_convolver.rs:427-494``) for chunks smaller than a head block.
+
+    ``chunk_padded`` is the chunk left-aligned in a ``[head_block]`` buffer;
+    the host chunker guarantees it does not cross a head-block boundary
+    (``processing = min(remaining, head - fill % head)``, ``:429-432``).
+    Returns the full head-block output lane; caller slices
+    ``[fill % head : fill % head + length]``.
+
+    Invariant exploited: ``precalculated_pos == tail_input_fill`` at all
+    times (both advance by ``processing`` and reset together, ``:456,461,488-491``).
+    """
+    b = cfg.head_block
+    tb = cfg.tail_block
+    fill = state.tail_fill
+    offset = fill % b
+
+    head_state, y_full = uniform.process_partial(
+        cfg.head, state.head, chunk_padded, length
+    )
+
+    # Sum both precalculated tails: chunk sample j (at lane offset+j) gets
+    # precalc[fill + j] = precalc[fill - offset + lane] (:439-456)
+    base = fill - offset  # head-block aligned, >= 0
+    y_full = y_full + jax.lax.dynamic_slice(state.tail_precalc0, (base,), (b,))
+    y_full = y_full + jax.lax.dynamic_slice(state.tail_precalc, (base,), (b,))
+
+    # Fill period input buffer (:459-461): masked roll placement
+    pos_lanes = jnp.arange(tb, dtype=jnp.int32)
+    take = (pos_lanes >= fill) & (pos_lanes < fill + length)
+    shifted = jnp.roll(jnp.pad(chunk_padded, (0, tb - b)), fill)
+    tail_input = jnp.where(take, shifted, state.tail_input)
+    new_fill = fill + length
+
+    head_boundary = (new_fill % b) == 0
+    period_end = new_fill == tb
+
+    if cfg.tail0 is not None:
+        def run_tail0(op):
+            t0_state, t_out0, t_pre0 = op
+            head_chunk = jax.lax.dynamic_slice(tail_input, (new_fill - b,), (b,))
+            t0_state, out0 = uniform.process_block(cfg.tail0, t0_state, head_chunk)
+            t_out0 = jax.lax.dynamic_update_slice(t_out0, out0, (new_fill - b,))
+            t_pre0, t_out0 = jax.lax.cond(
+                period_end, lambda p, o: (o, p), lambda p, o: (p, o), t_pre0, t_out0
+            )
+            return t0_state, t_out0, t_pre0
+
+        tail0_state, tail_output0, tail_precalc0 = jax.lax.cond(
+            head_boundary, run_tail0, lambda op: op,
+            (state.tail0, state.tail_output0, state.tail_precalc0),
+        )
+    else:
+        tail0_state = state.tail0
+        tail_output0, tail_precalc0 = state.tail_output0, state.tail_precalc0
+
+    if cfg.tail is not None:
+        def run_tail(op):
+            t_state, t_out, _t_pre = op
+            new_state, new_out = uniform.process_block(cfg.tail, t_state, tail_input)
+            return new_state, new_out, t_out
+
+        tail_state, tail_output, tail_precalc = jax.lax.cond(
+            period_end, run_tail, lambda op: op,
+            (state.tail, state.tail_output, state.tail_precalc),
+        )
+    else:
+        tail_state = state.tail
+        tail_output, tail_precalc = state.tail_output, state.tail_precalc
+
+    new_fill = jnp.where(period_end, 0, new_fill).astype(jnp.int32)
+
+    return TwoStageState(
+        head=head_state,
+        tail0=tail0_state,
+        tail=tail_state,
+        tail_output0=tail_output0,
+        tail_precalc0=tail_precalc0,
+        tail_output=tail_output,
+        tail_precalc=tail_precalc,
+        tail_input=tail_input,
+        tail_fill=new_fill,
+        precalc_pos=new_fill,  # invariant: pos == fill
+    ), y_full
+
+
+def process_stream(cfg: TwoStageConfig, state: TwoStageState,
+                   blocks: jnp.ndarray) -> Tuple[TwoStageState, jnp.ndarray]:
+    """Scan :func:`process_block` over a ``[T, head_block]`` stream."""
+
+    def step(st, x):
+        return process_block(cfg, st, x)
+
+    return jax.lax.scan(step, state, blocks)
