@@ -1,0 +1,134 @@
+"""Headline benchmark: real-time factor of the flagship convolver.
+
+Config (BASELINE.md north star): mono two-stage partitioned convolution,
+block = 128, 10 s 48 kHz impulse response, one chip.  Streams T blocks
+through the scanned engine (device-resident, the serving configuration) and
+reports xRT = audio_seconds / wall_seconds.  ``vs_baseline`` is the ratio
+against the 1000x north-star target (the reference publishes no numbers —
+BASELINE.md).
+
+Measurement methodology: the TPU here sits behind a relay whose
+``block_until_ready`` does not reliably block and whose bulk fetches are
+slow, so every timed region CHAINS the state dependency across iterations
+and forces execution with a single scalar-reduction fetch at the end — the
+device must run every step to produce the scalar, and only 4 bytes cross
+the link inside the timed region.
+
+Prints ONE JSON line on stdout; diagnostics go to stderr.
+"""
+
+import functools
+import json
+import sys
+import time
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from fft_convolution_tpu.models import two_stage
+
+    sr = 48000
+    block = 128
+    ir_seconds = 10
+    t_blocks = 2000
+    chain = 8  # chained stream repetitions per timed sample
+
+    rng = np.random.default_rng(0)
+    ir = (rng.standard_normal(ir_seconds * sr) * 0.01).astype(np.float32)
+    t0 = time.perf_counter()
+    cfg, state = two_stage.init(ir, block, len(ir))
+    log(f"flagship: two-stage block={block} tail={cfg.tail_block} "
+        f"ir={ir_seconds}s@{sr}Hz on {jax.devices()[0]} "
+        f"(init {time.perf_counter()-t0:.1f}s)")
+
+    x = jnp.asarray(rng.standard_normal((t_blocks, block)).astype(np.float32))
+
+    @jax.jit
+    def stream_chain(st, xs):
+        """`chain` back-to-back streams with a carried state dependency,
+        reduced to one scalar so a 4-byte fetch forces everything."""
+        def body(s, _):
+            s2, y = two_stage.process_stream(cfg, s, xs)
+            return s2, jnp.sum(y)
+        s_final, sums = jax.lax.scan(body, st, None, length=chain)
+        return s_final, jnp.sum(sums)
+
+    stream = jax.jit(functools.partial(two_stage.process_stream, cfg))
+
+    # correctness gate: the benchmarked program must produce the right audio
+    t0 = time.perf_counter()
+    s2, y = stream(state, x)
+    got = np.asarray(y).reshape(-1)
+    log(f"stream compile+run+fetch: {time.perf_counter() - t0:.1f} s")
+    n_check = 4096
+    # only the first n_check IR taps can reach the first n_check outputs
+    exp = np.convolve(
+        np.asarray(x).reshape(-1)[:n_check].astype(np.float64),
+        ir[:n_check].astype(np.float64),
+    )[:n_check]
+    err = float(np.abs(got[:n_check] - exp).max())
+    log(f"parity vs direct convolution (first {n_check} samples): {err:.3e}")
+    if err > 1e-4:
+        print(json.dumps({
+            "metric": "xRT_flagship_block128_10s_ir",
+            "value": 0.0, "unit": "x_realtime", "vs_baseline": 0.0,
+            "error": f"parity failure {err:.3e}",
+        }))
+        return
+
+    # timed region: chained streams, single scalar fetch
+    s_c, v = stream_chain(state, x)
+    _ = float(v)  # compile + warm
+    times = []
+    for _i in range(3):
+        t0 = time.perf_counter()
+        s_c, v = stream_chain(state, x)
+        _ = float(v)
+        times.append(time.perf_counter() - t0)
+    wall = float(np.median(times)) / chain
+    audio = t_blocks * block / sr
+    xrt = audio / wall
+    log(f"stream: {wall*1e3:.2f} ms per {audio:.2f} s audio "
+        f"({wall/t_blocks*1e6:.2f} us/block, median of 3 x {chain} chained)")
+
+    # p50 single-block device latency: chain single-block steps, fetch once
+    n_lat = 256
+
+    @jax.jit
+    def step_chain(st, xs):
+        def body(s, xb):
+            s2, y = two_stage.process_block(cfg, s, xb)
+            return s2, jnp.sum(y)
+        s_final, sums = jax.lax.scan(body, st, xs)
+        return s_final, jnp.sum(sums)
+
+    s3, v = step_chain(state, x[:n_lat])
+    _ = float(v)
+    lat_times = []
+    for _i in range(3):
+        t0 = time.perf_counter()
+        s3, v = step_chain(state, x[:n_lat])
+        _ = float(v)
+        lat_times.append((time.perf_counter() - t0) / n_lat)
+    p50_ms = float(np.median(lat_times) * 1e3)
+    log(f"per-block device latency: {p50_ms:.4f} ms (target < 1 ms)")
+
+    print(json.dumps({
+        "metric": "xRT_flagship_block128_10s_ir",
+        "value": round(xrt, 1),
+        "unit": "x_realtime",
+        "vs_baseline": round(xrt / 1000.0, 3),
+        "p50_block_latency_ms": round(p50_ms, 4),
+        "parity_max_abs_err": err,
+    }))
+
+
+if __name__ == "__main__":
+    main()

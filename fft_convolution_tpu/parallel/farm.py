@@ -1,0 +1,105 @@
+"""Reverb farm: batched multi-channel / multi-IR convolution, single chip
+to full mesh.
+
+The reference is strictly single-voice, single-thread (SURVEY.md §2:
+parallelism ABSENT).  The TPU scale story is pure data parallelism over
+voices (channel x IR pairs):
+
+* on one chip, ``vmap`` stacks voice states along a leading axis and the
+  whole farm advances in one fused program (MXU-batched DFTs, one big MAC);
+* across chips, ``shard_map`` over a 1-D ``('dp',)`` mesh shards the voice
+  axis over ICI; the steady-state audio path has **zero cross-chip
+  collectives** — each chip owns its voices end to end.
+
+States stack because every voice shares one static ``UniformConfig``
+(same block size / max IR length — a "farm profile").
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..models import uniform
+
+
+def farm_init(
+    irs: jnp.ndarray, block_size: int, max_response_length: int
+) -> Tuple[uniform.UniformConfig, uniform.UniformState]:
+    """Initialize V voices from ``irs [V, ir_len]``.  Returns one shared
+    config and a stacked state pytree with leading voice axis V."""
+    irs = jnp.asarray(irs, jnp.float32)
+    if max_response_length < irs.shape[-1]:
+        raise ValueError(
+            "max_response_length must be at least the length of the initial "
+            "impulse response"
+        )
+    cfg = uniform.make_config(block_size, max_response_length)
+    v = irs.shape[0]
+    padded = jnp.pad(irs, ((0, 0), (0, cfg.seg_count * cfg.block_size - irs.shape[-1])))
+    new_len = jnp.full((v,), cfg.ir_len, jnp.int32)
+    zeros = jax.tree.map(
+        lambda leaf: jnp.broadcast_to(leaf, (v,) + leaf.shape), uniform.zero_state(cfg)
+    )
+    state = jax.vmap(functools.partial(uniform.update, cfg))(zeros, padded, new_len)
+    return cfg, state
+
+
+def farm_update(cfg: uniform.UniformConfig, state: uniform.UniformState,
+                irs_padded: jnp.ndarray, new_lens: jnp.ndarray) -> uniform.UniformState:
+    """Batched RT-safe IR swap for all voices at once."""
+    return jax.vmap(functools.partial(uniform.update, cfg))(state, irs_padded, new_lens)
+
+
+def farm_step(cfg: uniform.UniformConfig, state: uniform.UniformState,
+              x: jnp.ndarray) -> Tuple[uniform.UniformState, jnp.ndarray]:
+    """One block for every voice: ``x [V, B] -> y [V, B]``."""
+    return jax.vmap(functools.partial(uniform.process_block, cfg))(state, x)
+
+
+def farm_stream(cfg: uniform.UniformConfig, state: uniform.UniformState,
+                blocks: jnp.ndarray) -> Tuple[uniform.UniformState, jnp.ndarray]:
+    """Stream ``blocks [T, V, B]`` through the farm -> ``[T, V, B]``."""
+
+    def step(st, xt):
+        return farm_step(cfg, st, xt)
+
+    return jax.lax.scan(step, state, blocks)
+
+
+# ---------------------------------------------------------------------------
+# multi-chip: shard the voice axis over a ('dp',) mesh
+# ---------------------------------------------------------------------------
+
+def make_farm_mesh(devices=None) -> Mesh:
+    import numpy as np
+
+    devices = list(devices) if devices is not None else jax.devices()
+    return Mesh(np.array(devices), ("dp",))
+
+
+def shard_farm(mesh: Mesh, state: uniform.UniformState) -> uniform.UniformState:
+    """Place a stacked farm state with the voice axis sharded over 'dp'."""
+    sharding = NamedSharding(mesh, P("dp"))
+    return jax.tree.map(lambda leaf: jax.device_put(leaf, sharding), state)
+
+
+def sharded_farm_stream(cfg: uniform.UniformConfig, mesh: Mesh):
+    """Build a jitted sharded stream fn: blocks [T, V, B] with V sharded over
+    'dp'.  No collectives in the audio path — pure data parallel over ICI-
+    attached chips; XLA partitions the vmapped program per shard."""
+    v_sharded = NamedSharding(mesh, P(None, "dp"))
+
+    @functools.partial(
+        jax.jit,
+        in_shardings=(None, v_sharded),
+        donate_argnums=(0,),
+    )
+    def run(state, blocks):
+        return farm_stream(cfg, state, blocks)
+
+    return run

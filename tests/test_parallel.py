@@ -1,0 +1,114 @@
+"""Scale-out tests on the 8-virtual-device CPU mesh.
+
+The reference has no parallelism (SURVEY.md §2); these tests lock in the
+TPU-native scale story: vmap farms match per-voice processing exactly, and
+the shard_map paths (voice-sharded farm, segment-sharded FDL) match the
+single-device engine bit-for-bit.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fft_convolution_tpu import FFTConvolver
+from fft_convolution_tpu.models import uniform
+from fft_convolution_tpu.parallel import farm, partition
+
+
+def test_vmap_farm_matches_loop():
+    rng = np.random.default_rng(10)
+    v, b, t = 4, 64, 20
+    irs = rng.standard_normal((v, 300)).astype(np.float32) * 0.1
+    x = rng.standard_normal((t, v, b)).astype(np.float32)
+
+    cfg, state = farm.farm_init(jnp.asarray(irs), b, 300)
+    _, y = jax.jit(functools.partial(farm.farm_stream, cfg))(state, jnp.asarray(x))
+    y = np.asarray(y)
+
+    for voice in range(v):
+        c = FFTConvolver(irs[voice], b, 300)
+        y_ref = c.process(x[:, voice, :].reshape(-1))
+        np.testing.assert_allclose(y[:, voice, :].reshape(-1), y_ref, atol=1e-5)
+
+
+def test_sharded_farm_matches_unsharded():
+    rng = np.random.default_rng(11)
+    v, b, t = 8, 64, 12
+    irs = rng.standard_normal((v, 256)).astype(np.float32) * 0.1
+    x = rng.standard_normal((t, v, b)).astype(np.float32)
+
+    cfg, state = farm.farm_init(jnp.asarray(irs), b, 256)
+    _, y_ref = jax.jit(functools.partial(farm.farm_stream, cfg))(state, jnp.asarray(x))
+
+    mesh = farm.make_farm_mesh()
+    assert mesh.devices.size == 8
+    cfg2, state2 = farm.farm_init(jnp.asarray(irs), b, 256)
+    state2 = farm.shard_farm(mesh, state2)
+    run = farm.sharded_farm_stream(cfg2, mesh)
+    _, y = run(state2, jnp.asarray(x))
+    # partitioned execution reorders the f32 reductions slightly
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref), atol=1e-5)
+
+
+def test_segment_sharded_fdl_matches_uniform():
+    """The 'sp'-sharded FDL (distributed MAC + psum) must reproduce the
+    single-device engine exactly, including full ring wraparound."""
+    rng = np.random.default_rng(12)
+    b = 64
+    ir = rng.standard_normal(b * 16).astype(np.float32) * 0.1  # 16 segments / 8 devs
+    t = 40  # > 2 ring periods
+    x = rng.standard_normal((t, b)).astype(np.float32)
+
+    mesh = partition.make_mesh()
+    cfg, state = partition.init(mesh, ir, b, len(ir))
+    run = partition.build_stream(cfg, mesh)
+    _, y = run(state, jnp.asarray(x))
+
+    c = FFTConvolver(ir, b, len(ir))
+    y_ref = c.process(x.reshape(-1))
+    np.testing.assert_allclose(np.asarray(y).reshape(-1), y_ref, atol=1e-5)
+
+
+def test_segment_sharded_padding():
+    """seg_count not divisible by the mesh size: rows pad, output unchanged."""
+    rng = np.random.default_rng(13)
+    b = 64
+    ir = rng.standard_normal(b * 5 + 17).astype(np.float32) * 0.1  # 6 segs -> pad to 8
+    x = rng.standard_normal((16, b)).astype(np.float32)
+
+    mesh = partition.make_mesh()
+    cfg, state = partition.init(mesh, ir, b, len(ir))
+    assert cfg.seg_count % mesh.devices.size == 0
+    run = partition.build_stream(cfg, mesh)
+    _, y = run(state, jnp.asarray(x))
+
+    c = FFTConvolver(ir, b, len(ir))
+    y_ref = c.process(x.reshape(-1))
+    np.testing.assert_allclose(np.asarray(y).reshape(-1), y_ref, atol=1e-5)
+
+
+def test_farm_update_batched():
+    rng = np.random.default_rng(14)
+    v, b = 3, 64
+    irs = rng.standard_normal((v, 256)).astype(np.float32) * 0.1
+    new_irs = rng.standard_normal((v, 256)).astype(np.float32) * 0.1
+    x = rng.standard_normal((6, v, b)).astype(np.float32)
+
+    cfg, state = farm.farm_init(jnp.asarray(irs), b, 256)
+    stream = jax.jit(functools.partial(farm.farm_stream, cfg))
+    state, _ = stream(state, jnp.asarray(x[:3]))
+    padded = jnp.pad(jnp.asarray(new_irs), ((0, 0), (0, cfg.seg_count * cfg.block_size - 256)))
+    state = jax.jit(functools.partial(farm.farm_update, cfg))(
+        state, padded, jnp.full((v,), 256, jnp.int32)
+    )
+    _, y = stream(state, jnp.asarray(x[3:]))
+    y = np.asarray(y)
+
+    for voice in range(v):
+        c = FFTConvolver(irs[voice], b, 256)
+        c.process(x[:3, voice, :].reshape(-1))
+        c.update(new_irs[voice])
+        y_ref = c.process(x[3:, voice, :].reshape(-1))
+        np.testing.assert_allclose(y[:, voice, :].reshape(-1), y_ref, atol=1e-5)
