@@ -37,7 +37,7 @@ def main() -> None:
     sr = 48000
     block = 128
     ir_seconds = 10
-    t_blocks = 2000
+    t_blocks = 2048  # multiple of the tail period (8192/128 = 64)
     chain = 8  # chained stream repetitions per timed sample
 
     rng = np.random.default_rng(0)
@@ -50,24 +50,28 @@ def main() -> None:
 
     x = jnp.asarray(rng.standard_normal((t_blocks, block)).astype(np.float32))
 
+    n_check = 4096
+
     @jax.jit
     def stream_chain(st, xs):
         """`chain` back-to-back streams with a carried state dependency,
-        reduced to one scalar so a 4-byte fetch forces everything."""
-        def body(s, _):
-            s2, y = two_stage.process_stream(cfg, s, xs)
-            return s2, jnp.sum(y)
-        s_final, sums = jax.lax.scan(body, st, None, length=chain)
-        return s_final, jnp.sum(sums)
-
-    stream = jax.jit(functools.partial(two_stage.process_stream, cfg))
+        reduced to one scalar so a 4-byte fetch forces everything; also
+        emits the first stream's output head for the correctness gate
+        (one compiled program serves gate + timing — compiles are slow)."""
+        def body(s, i):
+            s2, y = two_stage.process_stream_aligned(cfg, s, xs)
+            return s2, (jnp.sum(y), jnp.where(i == 0, y.reshape(-1)[:n_check], 0.0))
+        s_final, (sums, heads) = jax.lax.scan(
+            body, st, jnp.arange(chain, dtype=jnp.int32)
+        )
+        return s_final, jnp.sum(sums), heads[0]
 
     # correctness gate: the benchmarked program must produce the right audio
     t0 = time.perf_counter()
-    s2, y = stream(state, x)
-    got = np.asarray(y).reshape(-1)
+    s2, _v, y_head = stream_chain(state, x)
+    # bulk fetches crawl through the relay: fetch only the 16 KB gate head
+    got = np.asarray(y_head).astype(np.float64)
     log(f"stream compile+run+fetch: {time.perf_counter() - t0:.1f} s")
-    n_check = 4096
     # only the first n_check IR taps can reach the first n_check outputs
     exp = np.convolve(
         np.asarray(x).reshape(-1)[:n_check].astype(np.float64),
@@ -84,12 +88,10 @@ def main() -> None:
         return
 
     # timed region: chained streams, single scalar fetch
-    s_c, v = stream_chain(state, x)
-    _ = float(v)  # compile + warm
     times = []
     for _i in range(3):
         t0 = time.perf_counter()
-        s_c, v = stream_chain(state, x)
+        s_c, v, _h = stream_chain(state, x)
         _ = float(v)
         times.append(time.perf_counter() - t0)
     wall = float(np.median(times)) / chain

@@ -29,6 +29,11 @@ def _jit_stream(cfg: two_stage.TwoStageConfig):
 
 
 @functools.lru_cache(maxsize=None)
+def _jit_stream_aligned(cfg: two_stage.TwoStageConfig):
+    return jax.jit(functools.partial(two_stage.process_stream_aligned, cfg))
+
+
+@functools.lru_cache(maxsize=None)
 def _jit_reset(cfg: two_stage.TwoStageConfig):
     return jax.jit(functools.partial(two_stage.reset, cfg))
 
@@ -50,7 +55,8 @@ class TwoStageFFTConvolver:
             # sample-level re-chunking. Explicit > silently wrong.
             raise ValueError("TwoStageFFTConvolver requires a power-of-two block_size")
         self.cfg, self.state = two_stage.init(response, block_size, max_response_length)
-        self._fill = 0  # host shadow of tail_input_fill % head_block
+        self._fill = 0         # host shadow of tail_input_fill % head_block
+        self._period_fill = 0  # host shadow of tail_input_fill (period position)
 
     def update(self, response) -> None:
         """``todo!()`` in the reference (``src/fft_convolver.rs:408-410``) —
@@ -64,6 +70,7 @@ class TwoStageFFTConvolver:
     def reset(self) -> None:
         self.state = _jit_reset(self.cfg)(self.state)
         self._fill = 0
+        self._period_fill = 0
 
     def process(self, input) -> np.ndarray:
         x = np.asarray(input, np.float32)
@@ -71,8 +78,16 @@ class TwoStageFFTConvolver:
         b = self.cfg.head_block
         if n == 0:
             return np.zeros((0,), np.float32)
+        if (self._fill == 0 and self._period_fill == 0
+                and n % self.cfg.tail_block == 0):
+            # period-aligned batched path: all DFTs hoisted onto the MXU
+            self.state, y = _jit_stream_aligned(self.cfg)(
+                self.state, jnp.reshape(x, (-1, b))
+            )
+            return np.asarray(y).reshape(-1)
         if self._fill == 0 and n % b == 0:
             self.state, y = _jit_stream(self.cfg)(self.state, jnp.reshape(x, (-1, b)))
+            self._period_fill = (self._period_fill + n) % self.cfg.tail_block
             return np.asarray(y).reshape(-1)
         return self._process_chunked(x)
 
@@ -94,18 +109,20 @@ class TwoStageFFTConvolver:
                 offset : offset + processing
             ]
             self._fill = (self._fill + processing) % b
+            self._period_fill = (self._period_fill + processing) % self.cfg.tail_block
             processed += processing
         return out
 
     def snapshot(self):
-        return (self.state, self._fill)
+        return (self.state, self._fill, self._period_fill)
 
     def restore(self, snap) -> None:
-        self.state, self._fill = snap
+        self.state, self._fill, self._period_fill = snap
 
     def clone(self) -> "TwoStageFFTConvolver":
         other = object.__new__(TwoStageFFTConvolver)
         other.cfg = self.cfg
         other.state = self.state
         other._fill = self._fill
+        other._period_fill = self._period_fill
         return other

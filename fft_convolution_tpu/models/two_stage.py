@@ -341,3 +341,74 @@ def process_stream(cfg: TwoStageConfig, state: TwoStageState,
         return process_block(cfg, st, x)
 
     return jax.lax.scan(step, state, blocks)
+
+
+def process_stream_aligned(cfg: TwoStageConfig, state: TwoStageState,
+                           blocks: jnp.ndarray) -> Tuple[TwoStageState, jnp.ndarray]:
+    """Period-aligned batched streaming — the TPU-native throughput path.
+
+    Requires ``state.tail_fill == 0`` and ``T % period == 0`` (the host
+    wrapper checks).  Exploits the structure the sequential schedule hides:
+    the double-buffered precalculated tails (``src/fft_convolver.rs:439-456,
+    473-486``) make the three stages *independent* streams whose outputs sum
+    with fixed period delays:
+
+        y = head(x) + delay_1_period(tail0(x)) + delay_2_periods(tail(x))
+
+    where tail0 runs at the head block size over the same blocks and tail
+    runs at the tail block size over period-sized superblocks.  The delays
+    are exactly the reference's swap schedule: precalc0 holds the previous
+    period's tail0 output, and the main tail's swap-then-process means its
+    contribution surfaces two periods after its input (consistent with its
+    IR offset of ``2 * tail_block``).  Each stage is a batched uniform
+    stream (MXU-batched DFTs), so nothing sequential remains but the tiny
+    per-block MAC recurrences inside each stage.
+
+    Carried state reproduces the sequential double-buffer contents exactly,
+    so fast and scan paths can interleave freely.
+    """
+    b = cfg.head_block
+    tb = cfg.tail_block
+    p = cfg.period
+    t = blocks.shape[0]
+    q = t // p
+    assert q * p == t, "process_stream_aligned requires T % period == 0"
+
+    head_state, y = uniform.process_stream(cfg.head, state.head, blocks)
+
+    if cfg.tail0 is not None:
+        tail0_state, out0 = uniform.process_stream(cfg.tail0, state.tail0, blocks)
+        per0 = out0.reshape(q, tb)
+        contrib0 = jnp.concatenate([state.tail_precalc0[None], per0[:-1]], axis=0)
+        y = y + contrib0.reshape(t, b)
+        new_precalc0 = per0[-1]
+        new_output0 = per0[-2] if q >= 2 else state.tail_precalc0
+    else:
+        tail0_state = state.tail0
+        new_precalc0, new_output0 = state.tail_precalc0, state.tail_output0
+
+    if cfg.tail is not None:
+        big = blocks.reshape(q, tb)
+        tail_state, out_t = uniform.process_stream(cfg.tail, state.tail, big)
+        heads_ = [state.tail_precalc[None], state.tail_output[None]]
+        contrib = jnp.concatenate(heads_ + [out_t[:-2]], axis=0)[:q]
+        y = y + contrib.reshape(t, b)
+        new_output = out_t[-1]
+        new_precalc = out_t[-2] if q >= 2 else state.tail_output
+    else:
+        # absent main tail: its precalc/output buffers are permanently zero
+        tail_state = state.tail
+        new_precalc, new_output = state.tail_precalc, state.tail_output
+
+    return TwoStageState(
+        head=head_state,
+        tail0=tail0_state,
+        tail=tail_state,
+        tail_output0=new_output0,
+        tail_precalc0=new_precalc0,
+        tail_output=new_output,
+        tail_precalc=new_precalc,
+        tail_input=blocks[t - p:].reshape(tb),
+        tail_fill=jnp.zeros((), jnp.int32),
+        precalc_pos=jnp.zeros((), jnp.int32),
+    ), y

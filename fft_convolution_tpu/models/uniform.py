@@ -274,14 +274,152 @@ def process_partial(cfg: UniformConfig, state: UniformState, chunk_padded: jnp.n
     return jax.lax.cond(state.active_segs == 0, inactive, active)
 
 
-def process_stream(cfg: UniformConfig, state: UniformState,
-                   blocks: jnp.ndarray) -> Tuple[UniformState, jnp.ndarray]:
-    """Scan :func:`process_block` over a ``[T, block_size]`` stream — the
-    TPU-native replacement for the caller's audio-callback loop
-    (``examples/compare_partitioned.rs:30-48``): one compiled program for the
-    whole stream instead of T dispatches."""
+def process_stream_scan(cfg: UniformConfig, state: UniformState,
+                        blocks: jnp.ndarray) -> Tuple[UniformState, jnp.ndarray]:
+    """Plain scan of :func:`process_block` — the semantic reference for
+    :func:`process_stream` (kept for cross-checking in tests)."""
 
     def step(st, x):
         return process_block(cfg, st, x)
 
     return jax.lax.scan(step, state, blocks)
+
+
+def _stream_ring_scan(cfg: UniformConfig, state: UniformState,
+                      specs: jnp.ndarray) -> Tuple[UniformState, jnp.ndarray]:
+    """Semi-batched stream core: forward/inverse DFTs are hoisted by the
+    caller; this scans only the FDL ring recurrence (write one spectrum
+    row, masked MAC, emit ``conv[t]``).  Mirrors the sequential ops 1:1,
+    including the shrunk-ring transient where ``current >= active_segs``
+    writes land in dead slots (``src/fft_convolver.rs:236-291``)."""
+
+    def step(carry, spec):
+        segments, current, _pre = carry
+        segments = jax.lax.dynamic_update_index_in_dim(
+            segments, spec, current, axis=0
+        )
+        pre = fdl_mac(segments, state.segments_ir, current, state.active_segs)
+        conv = pre + pmul(spec, state.segments_ir[0])
+        current = jnp.where(
+            current > 0, current - 1, state.active_segs - 1
+        ).astype(jnp.int32)
+        return (segments, current, pre), conv
+
+    (segments, current, pre), convs = jax.lax.scan(
+        step, (state.segments, state.current, state.pre_multiplied), specs
+    )
+    return state._replace(segments=segments, current=current, pre_multiplied=pre), convs
+
+
+def _stream_conv(cfg: UniformConfig, state: UniformState,
+                 specs: jnp.ndarray) -> Tuple[UniformState, jnp.ndarray]:
+    """Fully parallel stream core: the FDL recurrence
+    ``conv[t] = sum_i IR[i] (*) X[t-i]`` is a *depthwise causal convolution*
+    along the block axis, so the whole stream becomes two grouped-conv HLOs
+    on the extended spectrum sequence (ring history ++ new spectra) — zero
+    sequential steps.  The four real cross-products of the packed complex
+    multiply ride as channel groups of the two calls (see ``ops/cpx.pmul``).
+
+    Precondition: ``current < active_segs`` (a clean ring).  The caller
+    guards with :func:`_stream_ring_scan` otherwise.
+    """
+    n = cfg.seg_count
+    b = cfg.block_size
+    t = specs.shape[0]
+    active = state.active_segs
+    active_safe = jnp.maximum(active, 1)
+    current = state.current
+
+    # chronological history: E[k] holds X[-(N-1-k)] at ring slot
+    # (current + delay) % active  [delays >= active are kernel-masked]
+    k = jnp.arange(n - 1, dtype=jnp.int32)
+    hist = jnp.take(state.segments, (current + (n - 1 - k)) % active_safe, axis=0)
+    ext = jnp.concatenate([hist, specs], axis=0)            # [T+N-1, 2, B]
+
+    # reversed, activity-masked kernel (XLA conv is cross-correlation)
+    i = jnp.arange(n, dtype=jnp.int32)
+    kern = jnp.where((i < active)[:, None, None], state.segments_ir, 0.0)
+    kern = kern[::-1]                                        # [N, 2, B]
+
+    # depthwise conv: channels = (re|im) x B, batch 1, length T+N-1 -> T
+    lhs = ext.reshape(1, t + n - 1, 2 * b).transpose(0, 2, 1)   # [1, 2B, L]
+    ker_a = kern.reshape(n, 2 * b).T[:, None, :]                # [2B, 1, N]
+    ker_b = kern.reshape(n, 2, b)[:, ::-1, :].reshape(n, 2 * b).T[:, None, :]
+    dn = jax.lax.conv_dimension_numbers(lhs.shape, ker_a.shape, ("NCH", "OIH", "NCH"))
+
+    def dconv(kernel):
+        return jax.lax.conv_general_dilated(
+            lhs, kernel, window_strides=(1,), padding="VALID",
+            dimension_numbers=dn, feature_group_count=2 * b,
+            precision=jax.lax.Precision.HIGHEST,
+        )[0].T.reshape(t, 2, b)
+
+    rr_ii = dconv(ker_a)   # [:,0]=sum Er*IRr, [:,1]=sum Ei*IRi
+    ri_ir = dconv(ker_b)   # [:,0]=sum Er*IRi, [:,1]=sum Ei*IRr
+
+    from ..ops.cpx import _lane0_mask
+
+    m0 = jnp.asarray(_lane0_mask(b))
+    conv_re = rr_ii[:, 0] - rr_ii[:, 1] * (1.0 - m0)
+    conv_im = (ri_ir[:, 0] + ri_ir[:, 1]) * (1.0 - m0) + rr_ii[:, 1] * m0
+    convs = jnp.stack([conv_re, conv_im], axis=1)            # [T, 2, B]
+
+    # rebuild the ring: current' points at the NEXT write slot; slot at
+    # offset d from it holds X[T-d] (d=0 wraps to the oldest, delay=active)
+    current_f = jnp.mod(current - t, active_safe).astype(jnp.int32)
+    s = jnp.arange(n, dtype=jnp.int32)
+    d = jnp.mod(s - current_f, active_safe)
+    d_eff = jnp.where(d == 0, active_safe, d)
+    gathered = jnp.take(ext, (n - 1) + t - d_eff, axis=0)
+    segments = jnp.where((s < active)[:, None, None], gathered, state.segments)
+
+    new_state = state._replace(segments=segments, current=current_f)
+    # pre_multiplied must equal the sequential value after the last block —
+    # evaluated at the PRE-decrement head (src/fft_convolver.rs:244-261,287)
+    pre = fdl_mac(
+        segments, state.segments_ir, (current_f + 1) % active_safe, active
+    )
+    return new_state._replace(pre_multiplied=pre), convs
+
+
+def process_stream(cfg: UniformConfig, state: UniformState,
+                   blocks: jnp.ndarray) -> Tuple[UniformState, jnp.ndarray]:
+    """Batched streaming over ``[T, block_size]`` — the TPU-native
+    replacement for the caller's audio-callback loop
+    (``examples/compare_partitioned.rs:30-48``).
+
+    A naive scan of :func:`process_block` leaves the MXU idle: every scan
+    iteration dispatches two small DFT matmuls whose latency dominates.
+    Here nothing sequential remains at all:
+
+    * forward DFTs of ALL T input blocks: one ``[T, 2B] @ basis`` matmul;
+    * the spectral MAC over the frequency-delay line: two depthwise causal
+      conv HLOs along the block axis (:func:`_stream_conv`), with an in-jit
+      fallback to the exact ring scan for the shrunk-ring transient;
+    * inverse DFTs of all T conv spectra: one matmul;
+    * overlap-add: a vectorized shift (``y[t] = out[t,:B] + out[t-1,B:]``
+      with the carried ``overlap`` seeding t=0).
+
+    Results match the sequential path within f32 reassociation; state
+    evolution (``segments``, ``current``, ``pre_multiplied``, ``overlap``)
+    is reproduced exactly.
+    """
+    b = cfg.block_size
+    t = blocks.shape[0]
+
+    def inactive() -> Tuple[UniformState, jnp.ndarray]:
+        return state, jnp.zeros((t, b), jnp.float32)
+
+    def active() -> Tuple[UniformState, jnp.ndarray]:
+        specs = rdft_block(blocks, cfg.fft_size)  # [T, 2, B] — one matmul
+        new_state, convs = jax.lax.cond(
+            state.current < state.active_segs,
+            lambda: _stream_conv(cfg, state, specs),
+            lambda: _stream_ring_scan(cfg, state, specs),
+        )
+        outs = irdft_block(convs, cfg.fft_size)  # [T, 2B] — one matmul
+        tails = jnp.concatenate([state.overlap[None], outs[:-1, b:]], axis=0)
+        y = outs[:, :b] + tails
+        return new_state._replace(overlap=outs[-1, b:]), y
+
+    return jax.lax.cond(state.active_segs == 0, inactive, active)

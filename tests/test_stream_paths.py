@@ -1,0 +1,110 @@
+"""Cross-checks between streaming implementations.
+
+Every engine has one semantic reference (the per-block scan mirroring the
+reference while-loop) and faster batched paths; these tests pin them to each
+other, including state handoff when paths interleave mid-stream.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fft_convolution_tpu.models import two_stage, uniform
+from fft_convolution_tpu.ops.fft import generate_sinusoid
+
+
+def test_uniform_batched_stream_matches_scan():
+    rng = np.random.default_rng(20)
+    ir = rng.standard_normal(3000).astype(np.float32) * 0.1
+    cfg, state = uniform.init(ir, 64, len(ir))
+    x = jnp.asarray(rng.standard_normal((101, 64)).astype(np.float32))
+
+    s_scan, y_scan = jax.jit(functools.partial(uniform.process_stream_scan, cfg))(state, x)
+    s_fast, y_fast = jax.jit(functools.partial(uniform.process_stream, cfg))(state, x)
+
+    np.testing.assert_allclose(np.asarray(y_fast), np.asarray(y_scan), atol=1e-5)
+    for a, b, name in zip(s_fast, s_scan, uniform.UniformState._fields):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-4, err_msg=f"state field {name}"
+        )
+
+
+def test_uniform_batched_stream_state_handoff():
+    """fast -> scan -> fast interleaving must equal pure scan."""
+    rng = np.random.default_rng(21)
+    ir = rng.standard_normal(1000).astype(np.float32) * 0.1
+    cfg, s0 = uniform.init(ir, 64, len(ir))
+    x = rng.standard_normal((60, 64)).astype(np.float32)
+
+    scan = jax.jit(functools.partial(uniform.process_stream_scan, cfg))
+    fast = jax.jit(functools.partial(uniform.process_stream, cfg))
+
+    s_ref, y_ref = scan(s0, jnp.asarray(x))
+
+    s = s0
+    ys = []
+    for fn, lo, hi in [(fast, 0, 20), (scan, 20, 41), (fast, 41, 60)]:
+        s, y = fn(s, jnp.asarray(x[lo:hi]))
+        ys.append(np.asarray(y))
+    np.testing.assert_allclose(
+        np.concatenate(ys), np.asarray(y_ref), atol=1e-5
+    )
+
+
+def test_two_stage_aligned_matches_scan():
+    rng = np.random.default_rng(22)
+    ir = rng.standard_normal(12000).astype(np.float32) * 0.05
+    cfg, state = two_stage.init(ir, 64, len(ir))
+    p = cfg.period
+    q = 5
+    x = jnp.asarray(rng.standard_normal((q * p, 64)).astype(np.float32))
+
+    s_scan, y_scan = jax.jit(functools.partial(two_stage.process_stream, cfg))(state, x)
+    s_fast, y_fast = jax.jit(functools.partial(two_stage.process_stream_aligned, cfg))(state, x)
+
+    np.testing.assert_allclose(np.asarray(y_fast), np.asarray(y_scan), atol=1e-5)
+    flat_scan, _ = jax.tree.flatten(s_scan)
+    flat_fast, treedef = jax.tree.flatten(s_fast)
+    for a, b in zip(flat_fast, flat_scan):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+def test_two_stage_aligned_single_period_and_handoff():
+    """q = 1 edge case, then continue with the scan path mid-period."""
+    rng = np.random.default_rng(23)
+    ir = rng.standard_normal(9000).astype(np.float32) * 0.05
+    cfg, s0 = two_stage.init(ir, 64, len(ir))
+    p = cfg.period
+    x = rng.standard_normal(((2 * p) + 3, 64)).astype(np.float32)
+
+    scan = jax.jit(functools.partial(two_stage.process_stream, cfg))
+    fast = jax.jit(functools.partial(two_stage.process_stream_aligned, cfg))
+
+    s_ref, y_ref = scan(s0, jnp.asarray(x))
+
+    s = s0
+    ys = []
+    s, y = fast(s, jnp.asarray(x[:p])); ys.append(np.asarray(y))       # q=1
+    s, y = fast(s, jnp.asarray(x[p:2 * p])); ys.append(np.asarray(y))  # q=1 again
+    s, y = scan(s, jnp.asarray(x[2 * p:])); ys.append(np.asarray(y))   # ragged tail
+    np.testing.assert_allclose(
+        np.concatenate(ys), np.asarray(y_ref), atol=1e-5
+    )
+
+
+def test_two_stage_wrapper_uses_aligned_path():
+    """End-to-end through the public API with a period-multiple input, vs
+    the uniform engine (the reference's own equivalence, tests.rs:148-175)."""
+    from fft_convolution_tpu import FFTConvolver, TwoStageFFTConvolver
+
+    block = 64
+    response = generate_sinusoid(12000, 1000.0, 44100.0, 0.1)
+    a = FFTConvolver(response, block // 2, len(response))
+    b = TwoStageFFTConvolver(response, block, len(response))
+    n = b.cfg.tail_block * 4
+    x = generate_sinusoid(n, 1300.0, 44100.0, 0.1)
+    y_a = a.process(x)
+    y_b = b.process(x)  # n % tail_block == 0 -> aligned path
+    np.testing.assert_allclose(y_a, y_b, atol=1e-5)
