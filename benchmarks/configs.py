@@ -1,0 +1,169 @@
+"""The five benchmark configurations from BASELINE.json.
+
+Each config returns ``(name, run)`` where ``run()`` measures the workload on
+the current backend and returns a dict of metrics.  All timed regions use
+the chained-dependency + scalar-fetch methodology (see bench.py): the relay
+fronting the TPU neither blocks reliably nor fetches quickly, so a 4-byte
+scalar that data-depends on everything is the only trustworthy fence.
+
+Run all: ``python -m benchmarks.run_all`` (add ``--cpu`` for the CPU backend).
+"""
+
+from __future__ import annotations
+
+import functools
+import time
+
+SR = 48000
+
+
+def _chain_time(fn, state, x, chain=4, reps=3):
+    """Median wall time of one fn(state, x) stream, forced by chaining."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    @jax.jit
+    def chained(st, xs):
+        def body(s, _):
+            s2, y = fn(s, xs)
+            return s2, jnp.sum(y)
+        sf, sums = jax.lax.scan(body, st, None, length=chain)
+        return sf, jnp.sum(sums)
+
+    sf, v = chained(state, x)
+    _ = float(v)
+    times = []
+    for _i in range(reps):
+        t0 = time.perf_counter()
+        sf, v = chained(state, x)
+        _ = float(v)
+        times.append((time.perf_counter() - t0) / chain)
+    return float(np.median(times))
+
+
+def config1_mono_parity():
+    """Mono FFTConvolver, block=128, 1 s 48 kHz IR — CPU-parity semantics of
+    examples/compare_partitioned.rs (reference config 1)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from fft_convolution_tpu.models import uniform
+
+    rng = np.random.default_rng(0)
+    ir = (rng.standard_normal(SR) * 0.02).astype(np.float32)
+    cfg, state = uniform.init(ir, 128, len(ir))
+    t = 1024
+    x = jnp.asarray(rng.standard_normal((t, 128)).astype(np.float32))
+    wall = _chain_time(functools.partial(uniform.process_stream, cfg), state, x)
+    audio = t * 128 / SR
+    return {"xrt": audio / wall, "us_per_block": wall / t * 1e6}
+
+
+def config2_stereo():
+    """Stereo uniform convolution, block=256, 5 s hall IR — a 2-voice farm."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from fft_convolution_tpu.parallel import farm
+
+    rng = np.random.default_rng(1)
+    irs = (rng.standard_normal((2, 5 * SR)) * 0.01).astype(np.float32)
+    cfg, state = farm.farm_init(jnp.asarray(irs), 256, 5 * SR)
+    t = 512
+    x = jnp.asarray(rng.standard_normal((t, 2, 256)).astype(np.float32))
+    wall = _chain_time(functools.partial(farm.farm_stream, cfg), state, x)
+    audio = t * 256 / SR
+    return {"xrt": audio / wall, "us_per_block": wall / t * 1e6}
+
+
+def config3_two_stage_30s():
+    """Two-stage non-uniform partitions, head=128, 30 s cathedral IR.
+    (Garcia's formula picks the optimal tail size; the 4096 in BASELINE.json
+    is advisory — we keep the reference's closed form.)"""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from fft_convolution_tpu.models import two_stage
+
+    rng = np.random.default_rng(2)
+    ir = (rng.standard_normal(30 * SR) * 0.005).astype(np.float32)
+    cfg, state = two_stage.init(ir, 128, len(ir))
+    t = 2 * cfg.period
+    x = jnp.asarray(rng.standard_normal((t, 128)).astype(np.float32))
+    wall = _chain_time(
+        functools.partial(two_stage.process_stream_aligned, cfg), state, x
+    )
+    audio = t * 128 / SR
+    return {"xrt": audio / wall, "us_per_block": wall / t * 1e6,
+            "tail_block": cfg.tail_block}
+
+
+def config4_crossfade_morph():
+    """Crossfade A/B morph every 0.5 s: both engines + sample-accurate mixer
+    every block (2x compute by design, src/crossfade_convolver.rs:66-78)."""
+    import numpy as np
+
+    from fft_convolution_tpu import CrossfadeConvolver, FFTConvolver
+
+    rng = np.random.default_rng(3)
+    block = 128
+    ir_a = (rng.standard_normal(SR) * 0.02).astype(np.float32)
+    ir_b = (rng.standard_normal(SR) * 0.02).astype(np.float32)
+    inner = FFTConvolver(ir_a, block, SR)
+    cc = CrossfadeConvolver(inner, SR, block, 2048)
+    x = rng.standard_normal(SR).astype(np.float32)
+
+    # warm both jit paths (process + mix)
+    cc.process(x[:block])
+    n_blocks = SR // block
+    morph_every = (SR // 2) // block
+    t0 = time.perf_counter()
+    for i in range(n_blocks):
+        if i % morph_every == 0:
+            cc.update(ir_b if (i // morph_every) % 2 == 0 else ir_a)
+        cc.process(x[i * block:(i + 1) * block])
+    wall = time.perf_counter() - t0
+    audio = n_blocks * block / SR
+    return {"xrt": audio / wall, "us_per_block": wall / n_blocks * 1e6}
+
+
+def config5_reverb_farm(voices: int = 1024, ir_seconds: int = 60):
+    """Batched reverb farm: vmap over ``voices`` channels with distinct long
+    IRs on one chip.  60 s IRs at f32 need ~23 MB spectra per voice — HBM
+    limits how many fit; the farm shards over chips for the full 1024x60s
+    (see parallel/partition.py).  Defaults probe a single-chip-feasible
+    slice and report aggregate realtime voices."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from fft_convolution_tpu.models import uniform
+    from fft_convolution_tpu.parallel import farm
+
+    block = 128
+    # fit to device memory: spectra bytes/voice ~= 2 * ceil(L/B) * 2B * 4
+    hbm = 14e9 if jax.devices()[0].platform == "tpu" else 2e9
+    per_voice = 2 * (ir_seconds * SR / block) * 2 * block * 4 * 1.5
+    voices = int(min(voices, max(1, hbm // per_voice)))
+
+    rng = np.random.default_rng(4)
+    irs = (rng.standard_normal((voices, ir_seconds * SR)) * 0.002).astype(np.float32)
+    cfg, state = farm.farm_init(jnp.asarray(irs), block, ir_seconds * SR)
+    t = 128
+    x = jnp.asarray(rng.standard_normal((t, voices, block)).astype(np.float32))
+    wall = _chain_time(functools.partial(farm.farm_stream, cfg), state, x, chain=2)
+    audio = t * block / SR
+    xrt = audio / wall
+    return {"voices": voices, "xrt_per_voice": xrt,
+            "realtime_voices": xrt * voices,
+            "us_per_block_all_voices": wall / t * 1e6}
+
+
+ALL = {
+    "mono_block128_1s": config1_mono_parity,
+    "stereo_block256_5s": config2_stereo,
+    "two_stage_30s": config3_two_stage_30s,
+    "crossfade_morph": config4_crossfade_morph,
+    "reverb_farm": config5_reverb_farm,
+}

@@ -382,6 +382,22 @@ def _stream_conv(cfg: UniformConfig, state: UniformState,
     return new_state._replace(pre_multiplied=pre), convs
 
 
+def stream_conv_unguarded(cfg: UniformConfig, state: UniformState,
+                          blocks: jnp.ndarray) -> Tuple[UniformState, jnp.ndarray]:
+    """The conv-HLO stream without the safety conds — preconditions
+    ``0 < active_segs`` and ``current < active_segs`` checked by the caller.
+    vmap-friendly (no data-dependent cond that vmap would turn into
+    execute-both-branches selects): the reverb farm maps this over voices.
+    """
+    b = cfg.block_size
+    specs = rdft_block(blocks, cfg.fft_size)
+    new_state, convs = _stream_conv(cfg, state, specs)
+    outs = irdft_block(convs, cfg.fft_size)
+    tails = jnp.concatenate([state.overlap[None], outs[:-1, b:]], axis=0)
+    y = outs[:, :b] + tails
+    return new_state._replace(overlap=outs[-1, b:]), y
+
+
 def process_stream(cfg: UniformConfig, state: UniformState,
                    blocks: jnp.ndarray) -> Tuple[UniformState, jnp.ndarray]:
     """Batched streaming over ``[T, block_size]`` — the TPU-native

@@ -63,12 +63,34 @@ def farm_step(cfg: uniform.UniformConfig, state: uniform.UniformState,
 
 def farm_stream(cfg: uniform.UniformConfig, state: uniform.UniformState,
                 blocks: jnp.ndarray) -> Tuple[uniform.UniformState, jnp.ndarray]:
-    """Stream ``blocks [T, V, B]`` through the farm -> ``[T, V, B]``."""
+    """Stream ``blocks [T, V, B]`` through the farm -> ``[T, V, B]``.
 
-    def step(st, xt):
-        return farm_step(cfg, st, xt)
+    Fast path: every voice's ring is clean (``0 < active <= current`` never
+    holds) -> vmap the fully parallel conv-HLO stream over voices — one
+    batched program with zero sequential steps.  The predicate is reduced
+    over ALL voices so the ``lax.cond`` stays unbatched (vmapping a cond
+    would execute both branches for every voice); the fallback is the exact
+    per-block scan.
+    """
+    vx = jnp.swapaxes(blocks, 0, 1)  # [V, T, B]
 
-    return jax.lax.scan(step, state, blocks)
+    clean = jnp.all(
+        (state.current < state.active_segs) & (state.active_segs > 0)
+    )
+
+    def fast(st):
+        st2, ys = jax.vmap(functools.partial(uniform.stream_conv_unguarded, cfg))(
+            st, vx
+        )
+        return st2, jnp.swapaxes(ys, 0, 1)
+
+    def slow(st):
+        def step(s, xt):
+            return farm_step(cfg, s, xt)
+
+        return jax.lax.scan(step, st, blocks)
+
+    return jax.lax.cond(clean, fast, slow, state)
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,65 @@
+"""Pallas fused block-step kernel vs the jnp engine (interpret mode on CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fft_convolution_tpu.models import uniform
+from fft_convolution_tpu.ops import pallas_engine
+
+
+def test_fused_block_step_matches_jnp():
+    rng = np.random.default_rng(30)
+    b, n_blocks = 128, 12
+    ir = rng.standard_normal(b * 5).astype(np.float32) * 0.1
+    cfg, state = uniform.init(ir, b, len(ir))
+    consts, pstate = pallas_engine.from_uniform(cfg, state)
+    assert pallas_engine.fits_vmem(cfg)
+
+    x = rng.standard_normal((n_blocks, b)).astype(np.float32)
+    jstate = state
+    for t in range(n_blocks):
+        jstate, y_ref = uniform.process_block(cfg, jstate, jnp.asarray(x[t]))
+        pstate, y = pallas_engine.block_step(
+            cfg, consts, pstate, jnp.asarray(x[t]), interpret=True
+        )
+        np.testing.assert_allclose(
+            np.asarray(y), np.asarray(y_ref), atol=1e-5, err_msg=f"block {t}"
+        )
+
+    # state interop: convert back and continue on the jnp path
+    back = pallas_engine.to_uniform(cfg, pstate, jstate)
+    np.testing.assert_allclose(
+        np.asarray(back.segments), np.asarray(jstate.segments), atol=1e-4
+    )
+    assert int(back.current) == int(jstate.current)
+    s1, y1 = uniform.process_block(cfg, back, jnp.asarray(x[0]))
+    s2, y2 = uniform.process_block(cfg, jstate, jnp.asarray(x[0]))
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y2), atol=1e-5)
+
+
+def test_fused_block_step_ring_wraparound():
+    """More blocks than segments: the ring must wrap identically."""
+    rng = np.random.default_rng(31)
+    b = 64
+    ir = rng.standard_normal(b * 3).astype(np.float32) * 0.1
+    cfg, state = uniform.init(ir, b, len(ir))
+    consts, pstate = pallas_engine.from_uniform(cfg, state)
+    x = rng.standard_normal(b * 10).astype(np.float32)
+
+    ys = []
+    for t in range(10):
+        pstate, y = pallas_engine.block_step(
+            cfg, consts, pstate, jnp.asarray(x[t * b:(t + 1) * b]), interpret=True
+        )
+        ys.append(np.asarray(y))
+    got = np.concatenate(ys)
+    exp = np.convolve(x.astype(np.float64), ir.astype(np.float64))[: len(x)]
+    np.testing.assert_allclose(got, exp, atol=1e-5)
+
+
+def test_vmem_budget_check():
+    cfg_small = uniform.make_config(128, 48000)
+    assert pallas_engine.fits_vmem(cfg_small)
+    cfg_huge = uniform.make_config(128, 48000 * 60)
+    assert not pallas_engine.fits_vmem(cfg_huge)
