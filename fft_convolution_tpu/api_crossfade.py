@@ -104,11 +104,22 @@ class CrossfadeConvolver:
 
     def reset(self) -> None:
         """``todo!()`` upstream (``src/crossfade_convolver.rs:80-82``) —
-        surface matched."""
+        surface matched.  See :meth:`reset_extension`."""
         raise NotImplementedError(
             "CrossfadeConvolver.reset is unimplemented upstream "
-            "(src/crossfade_convolver.rs:80-82)"
+            "(src/crossfade_convolver.rs:80-82); reset_extension() is the "
+            "documented extension"
         )
+
+    def reset_extension(self) -> None:
+        """EXTENSION (clearly marked — NOT reference surface): reset both
+        engines, return the crossfader to Reached(A), drop any pending
+        response."""
+        self.convolver_a.reset()
+        self.convolver_b.reset()
+        self.cf_state = crossfade.new_state(self.cf_cfg)
+        self.stored_response[:] = 0.0
+        self.response_pending = False
 
     def snapshot(self):
         return (

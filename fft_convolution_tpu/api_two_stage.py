@@ -38,6 +38,11 @@ def _jit_reset(cfg: two_stage.TwoStageConfig):
     return jax.jit(functools.partial(two_stage.reset, cfg))
 
 
+@functools.lru_cache(maxsize=None)
+def _jit_update_ext(cfg: two_stage.TwoStageConfig):
+    return jax.jit(functools.partial(two_stage.update, cfg))
+
+
 class TwoStageFFTConvolver:
     """Non-uniform (head/tail) partitioned convolution engine.
 
@@ -65,6 +70,28 @@ class TwoStageFFTConvolver:
             "TwoStageFFTConvolver.update is unimplemented upstream "
             "(src/fft_convolver.rs:408-410); wrap in CrossfadeConvolver "
             "for artifact-free IR switching"
+        )
+
+    def update_extension(self, response) -> None:
+        """EXTENSION (clearly marked — NOT reference surface): RT-safe IR
+        swap for the two-stage engine, stage-wise semantics documented at
+        :func:`models.two_stage.update`.  For reference-faithful live IR
+        switching use :class:`CrossfadeConvolver`."""
+        response = np.asarray(response, np.float32)
+        # capacity is the init max_response_length, reconstructed from the
+        # stage IR caps (src/fft_convolver.rs:352-384)
+        cap = self.cfg.head.ir_len
+        if self.cfg.tail0 is not None:
+            cap = self.cfg.tail_block + self.cfg.tail0.ir_len
+        if self.cfg.tail is not None:
+            cap = 2 * self.cfg.tail_block + self.cfg.tail.ir_len
+        if response.shape[0] > cap:
+            raise ValueError("New impulse response is longer than initialized length")
+        padded = np.zeros(cap, np.float32)
+        padded[: response.shape[0]] = response
+        self.state = _jit_update_ext(self.cfg)(
+            self.state, jnp.asarray(padded),
+            jnp.asarray(response.shape[0], jnp.int32),
         )
 
     def reset(self) -> None:

@@ -143,6 +143,72 @@ def init(
     return cfg, state
 
 
+def update(cfg: TwoStageConfig, state: TwoStageState, response_padded: jnp.ndarray,
+           new_len: jnp.ndarray) -> TwoStageState:
+    """EXTENSION — the reference leaves ``update`` as ``todo!()``
+    (``src/fft_convolver.rs:408-410``); the public wrapper keeps that
+    surface and exposes this as ``update_extension``.
+
+    Semantics follow the uniform engine's RT-safe swap (``:174-213``)
+    stage-wise: each stage re-derives its IR slice (head ``[0..T]``, tail0
+    ``[T..2T]``, tail ``[2T..]``, as at init ``:352-384``), input history
+    and the period schedule are kept, and pending outputs (the
+    precalculated tail double-buffers — the analogue of the uniform
+    engine's discarded ``overlap``) are zeroed.
+
+    ``response_padded`` must be zero-padded to the init
+    ``max_response_length``; ``new_len`` is the actual (traced) length.
+    """
+    tb = cfg.tail_block
+    zeros_t = jnp.zeros_like(state.tail_input)
+
+    head_cap = cfg.head.ir_len
+    head_state = uniform.update(
+        cfg.head, state.head,
+        copy_and_pad_static(response_padded[:head_cap],
+                            cfg.head.seg_count * cfg.head.block_size),
+        jnp.minimum(new_len, head_cap).astype(jnp.int32),
+    )
+
+    if cfg.tail0 is not None:
+        cap0 = cfg.tail0.ir_len
+        tail0_state = uniform.update(
+            cfg.tail0, state.tail0,
+            copy_and_pad_static(response_padded[tb:tb + cap0],
+                                cfg.tail0.seg_count * cfg.tail0.block_size),
+            jnp.clip(new_len - tb, 0, cap0).astype(jnp.int32),
+        )
+    else:
+        tail0_state = state.tail0
+
+    if cfg.tail is not None:
+        cap_t = cfg.tail.ir_len
+        tail_state = uniform.update(
+            cfg.tail, state.tail,
+            copy_and_pad_static(response_padded[2 * tb:2 * tb + cap_t],
+                                cfg.tail.seg_count * cfg.tail.block_size),
+            jnp.clip(new_len - 2 * tb, 0, cap_t).astype(jnp.int32),
+        )
+    else:
+        tail_state = state.tail
+
+    return state._replace(
+        head=head_state,
+        tail0=tail0_state,
+        tail=tail_state,
+        tail_output0=zeros_t,
+        tail_precalc0=zeros_t,
+        tail_output=zeros_t,
+        tail_precalc=zeros_t,
+    )
+
+
+def copy_and_pad_static(x: jnp.ndarray, total: int) -> jnp.ndarray:
+    if x.shape[0] == total:
+        return x
+    return jnp.pad(x, (0, total - x.shape[0]))
+
+
 def reset(cfg: TwoStageConfig, state: TwoStageState) -> TwoStageState:
     """``Convolution::reset`` (``src/fft_convolver.rs:497-511``)."""
     zeros_t = jnp.zeros_like(state.tail_input)
