@@ -142,9 +142,11 @@ def config5_reverb_farm(voices: int = 1024, ir_seconds: int = 60):
     from fft_convolution_tpu.parallel import farm
 
     block = 128
-    # fit to device memory: spectra bytes/voice ~= 2 * ceil(L/B) * 2B * 4
-    hbm = 14e9 if jax.devices()[0].platform == "tpu" else 2e9
-    per_voice = 2 * (ir_seconds * SR / block) * 2 * block * 4 * 1.5
+    hbm = 15e9 if jax.devices()[0].platform == "tpu" else 2e9
+    # measured: ~45L bytes/voice live at peak (segments ring 8L + IR spectra
+    # 8L + conv-stream extended-history working set + XLA temporaries);
+    # 60L leaves compile-planner headroom
+    per_voice = 60 * ir_seconds * SR
     voices = int(min(voices, max(1, hbm // per_voice)))
 
     rng = np.random.default_rng(4)

@@ -13,15 +13,41 @@ from __future__ import annotations
 import functools
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
-from .models import crossfade
+from .models import crossfade, uniform
 
 
 @functools.lru_cache(maxsize=None)
 def _jit_mix(cfg: crossfade.CrossfaderConfig, length: int):
     del length  # shape captured by the traced arrays; key keeps cache tidy
     return jax.jit(functools.partial(crossfade.mix_block, cfg))
+
+
+@functools.lru_cache(maxsize=None)
+def _jit_fused_stream(ucfg: uniform.UniformConfig,
+                      cf_cfg: crossfade.CrossfaderConfig):
+    """Both engines + the sample-accurate mixer in ONE device program.
+
+    The naive wrapper costs 3+ host<->device round trips per block (engine A,
+    engine B, mix); fused, a whole block-aligned stream is one dispatch: the
+    two engines run as a 2-voice farm (``src/crossfade_convolver.rs:72-73``
+    — both convolvers process every block) and the crossfader's closed-form
+    block mix runs on-device.
+    """
+    @jax.jit
+    def run(sa, sb, cf, blocks):
+        # the two streams run with the SAME shapes as standalone engines so
+        # XLA lowers them identically — outputs stay within the reference's
+        # 1e-6 engine-equivalence contract (a vmapped 2-voice formulation
+        # changes matmul shapes and drifts to ~1e-5)
+        sa2, ya = uniform.process_stream(ucfg, sa, blocks)
+        sb2, yb = uniform.process_stream(ucfg, sb, blocks)
+        cf2, y = crossfade.mix_block(cf_cfg, cf, ya.reshape(-1), yb.reshape(-1))
+        return sa2, sb2, cf2, y
+
+    return run
 
 
 class CrossfadeConvolver:
@@ -88,13 +114,39 @@ class CrossfadeConvolver:
         self.stored_response[response.shape[0]:] = 0.0
         self.response_pending = True
 
+    def _can_fuse(self, n: int) -> bool:
+        from .api import FFTConvolver
+
+        return (
+            type(self.convolver_a) is FFTConvolver
+            and type(self.convolver_b) is FFTConvolver
+            and self.convolver_a.cfg == self.convolver_b.cfg
+            and self.convolver_a._fill == 0
+            and self.convolver_b._fill == 0
+            and n > 0
+            and n % self.convolver_a.cfg.block_size == 0
+        )
+
     def process(self, input) -> np.ndarray:
         """(``src/crossfade_convolver.rs:66-78``): apply a pending swap at
-        block top, run BOTH engines, mix per-sample."""
+        block top, run BOTH engines, mix per-sample.
+
+        Block-aligned uniform-engine streams take the fused single-dispatch
+        path (both engines + mixer in one program)."""
         if not self.is_crossfading() and self.response_pending:
             self._swap(self.stored_response)
             self.response_pending = False
         x = np.asarray(input, np.float32)
+        if self._can_fuse(x.shape[0]):
+            ucfg = self.convolver_a.cfg
+            blocks = jnp.reshape(jnp.asarray(x), (-1, ucfg.block_size))
+            sa, sb, self.cf_state, y = _jit_fused_stream(ucfg, self.cf_cfg)(
+                self.convolver_a.state, self.convolver_b.state,
+                self.cf_state, blocks,
+            )
+            self.convolver_a.state = sa
+            self.convolver_b.state = sb
+            return np.asarray(y)
         buffer_a = self.convolver_a.process(x)
         buffer_b = self.convolver_b.process(x)
         self.cf_state, y = _jit_mix(self.cf_cfg, x.shape[0])(

@@ -428,11 +428,19 @@ def process_stream(cfg: UniformConfig, state: UniformState,
 
     def active() -> Tuple[UniformState, jnp.ndarray]:
         specs = rdft_block(blocks, cfg.fft_size)  # [T, 2, B] — one matmul
-        new_state, convs = jax.lax.cond(
-            state.current < state.active_segs,
-            lambda: _stream_conv(cfg, state, specs),
-            lambda: _stream_ring_scan(cfg, state, specs),
-        )
+        # static cost choice: the depthwise-conv core wins for small blocks
+        # and long streams; for huge blocks (two-stage tails: 2B = 16k+
+        # channels) or very short streams the hoisted-DFT ring scan is
+        # cheaper than the grouped-conv lowering
+        use_conv = cfg.block_size <= 2048 and t >= 8
+        if use_conv:
+            new_state, convs = jax.lax.cond(
+                state.current < state.active_segs,
+                lambda: _stream_conv(cfg, state, specs),
+                lambda: _stream_ring_scan(cfg, state, specs),
+            )
+        else:
+            new_state, convs = _stream_ring_scan(cfg, state, specs)
         outs = irdft_block(convs, cfg.fft_size)  # [T, 2B] — one matmul
         tails = jnp.concatenate([state.overlap[None], outs[:-1, b:]], axis=0)
         y = outs[:, :b] + tails
