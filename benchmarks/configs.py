@@ -100,65 +100,82 @@ def config3_two_stage_30s():
 
 
 def config4_crossfade_morph():
-    """Crossfade A/B morph every 0.5 s: both engines + sample-accurate mixer
-    every block (2x compute by design, src/crossfade_convolver.rs:66-78)."""
+    """Crossfade A/B morph: both engines + the sample-accurate mixer every
+    block (2x compute by design, src/crossfade_convolver.rs:66-78), measured
+    on the fused single-program stream path while a fade is in progress
+    (worst case: hold + ramp + mixer all active).  The host-side morph
+    trigger (RT-safe update of the inactive engine) is timed separately."""
+    import jax.numpy as jnp
     import numpy as np
 
     from fft_convolution_tpu import CrossfadeConvolver, FFTConvolver
+    from fft_convolution_tpu.api_crossfade import _jit_fused_stream
+    from fft_convolution_tpu.models import crossfade
 
     rng = np.random.default_rng(3)
     block = 128
     ir_a = (rng.standard_normal(SR) * 0.02).astype(np.float32)
     ir_b = (rng.standard_normal(SR) * 0.02).astype(np.float32)
     inner = FFTConvolver(ir_a, block, SR)
-    cc = CrossfadeConvolver(inner, SR, block, 2048)
-    x = rng.standard_normal(SR).astype(np.float32)
+    # fade longer than the whole timed region so every measured sample is
+    # mid-ramp (hold + raised-cosine mixer + both engines active)
+    cc = CrossfadeConvolver(inner, SR, block, 10 * SR)
+    cc.update(ir_b)
+    assert cc.is_crossfading()
 
-    # warm both jit paths (process + mix)
-    cc.process(x[:block])
-    n_blocks = SR // block
-    morph_every = (SR // 2) // block
+    t = 256
+    x = jnp.asarray(rng.standard_normal((t, block)).astype(np.float32))
+    fused = _jit_fused_stream(cc.convolver_a.cfg, cc.cf_cfg)
+
+    def run(op, xs):
+        sa, sb, cf = op
+        sa, sb, cf, y = fused(sa, sb, cf, xs)
+        return (sa, sb, cf), y
+
+    state0 = (cc.convolver_a.state, cc.convolver_b.state, cc.cf_state)
+    wall = _chain_time(run, state0, x, chain=4)
+    audio = t * block / SR
+
+    # morph trigger latency: jitted update of the inactive engine
     t0 = time.perf_counter()
-    for i in range(n_blocks):
-        if i % morph_every == 0:
-            cc.update(ir_b if (i // morph_every) % 2 == 0 else ir_a)
-        cc.process(x[i * block:(i + 1) * block])
-    wall = time.perf_counter() - t0
-    audio = n_blocks * block / SR
-    return {"xrt": audio / wall, "us_per_block": wall / n_blocks * 1e6}
+    for _ in range(5):
+        cc.convolver_b.update(ir_a)
+    update_ms = (time.perf_counter() - t0) / 5 * 1e3
+    return {"xrt": audio / wall, "us_per_block": wall / t * 1e6,
+            "morph_update_ms": update_ms}
 
 
 def config5_reverb_farm(voices: int = 1024, ir_seconds: int = 60):
     """Batched reverb farm: vmap over ``voices`` channels with distinct long
-    IRs on one chip.  60 s IRs at f32 need ~23 MB spectra per voice — HBM
-    limits how many fit; the farm shards over chips for the full 1024x60s
-    (see parallel/partition.py).  Defaults probe a single-chip-feasible
-    slice and report aggregate realtime voices."""
+    IRs on one chip, using the two-stage farm (parallel/farm2.py — the
+    production engine for 60 s IRs).  Per-voice state is the IR + segment
+    spectra (~16L bytes ≈ 46 MB at 60 s/48 kHz), so one 16 GB chip holds a
+    slice of the 1024; the voice axis shards over chips for the rest
+    (farm.shard_farm — zero steady-state collectives).  Reports aggregate
+    realtime voices/chip."""
     import jax
     import jax.numpy as jnp
     import numpy as np
 
-    from fft_convolution_tpu.models import uniform
-    from fft_convolution_tpu.parallel import farm
+    from fft_convolution_tpu.parallel import farm2
 
     block = 128
     hbm = 15e9 if jax.devices()[0].platform == "tpu" else 2e9
-    # measured: ~45L bytes/voice live at peak (segments ring 8L + IR spectra
-    # 8L + conv-stream extended-history working set + XLA temporaries);
-    # 60L leaves compile-planner headroom
-    per_voice = 60 * ir_seconds * SR
+    # state ~16L/voice + stream working set + init transients -> 28L budget
+    per_voice = 28 * ir_seconds * SR
     voices = int(min(voices, max(1, hbm // per_voice)))
 
     rng = np.random.default_rng(4)
     irs = (rng.standard_normal((voices, ir_seconds * SR)) * 0.002).astype(np.float32)
-    cfg, state = farm.farm_init(jnp.asarray(irs), block, ir_seconds * SR)
-    t = 128
+    cfg, state = farm2.farm2_init(irs, block, ir_seconds * SR)
+    t = 2 * cfg.period
     x = jnp.asarray(rng.standard_normal((t, voices, block)).astype(np.float32))
-    wall = _chain_time(functools.partial(farm.farm_stream, cfg), state, x, chain=2)
+    wall = _chain_time(functools.partial(farm2.farm2_stream, cfg), state, x, chain=2)
     audio = t * block / SR
     xrt = audio / wall
     return {"voices": voices, "xrt_per_voice": xrt,
-            "realtime_voices": xrt * voices,
+            "realtime_voices": round(xrt * voices),
+            "tail_block": cfg.tail_block,
             "us_per_block_all_voices": wall / t * 1e6}
 
 

@@ -410,7 +410,9 @@ def process_stream(cfg: TwoStageConfig, state: TwoStageState,
 
 
 def process_stream_aligned(cfg: TwoStageConfig, state: TwoStageState,
-                           blocks: jnp.ndarray) -> Tuple[TwoStageState, jnp.ndarray]:
+                           blocks: jnp.ndarray,
+                           small_stream=None,
+                           big_stream=None) -> Tuple[TwoStageState, jnp.ndarray]:
     """Period-aligned batched streaming — the TPU-native throughput path.
 
     Requires ``state.tail_fill == 0`` and ``T % period == 0`` (the host
@@ -439,11 +441,16 @@ def process_stream_aligned(cfg: TwoStageConfig, state: TwoStageState,
     t = blocks.shape[0]
     q = t // p
     assert q * p == t, "process_stream_aligned requires T % period == 0"
+    # pluggable per-stage stream cores: the vmapped farm passes unguarded
+    # cores so voice-batching does not turn the safety conds into
+    # execute-both-branches selects
+    small_stream = small_stream or uniform.process_stream
+    big_stream = big_stream or uniform.process_stream
 
-    head_state, y = uniform.process_stream(cfg.head, state.head, blocks)
+    head_state, y = small_stream(cfg.head, state.head, blocks)
 
     if cfg.tail0 is not None:
-        tail0_state, out0 = uniform.process_stream(cfg.tail0, state.tail0, blocks)
+        tail0_state, out0 = small_stream(cfg.tail0, state.tail0, blocks)
         per0 = out0.reshape(q, tb)
         contrib0 = jnp.concatenate([state.tail_precalc0[None], per0[:-1]], axis=0)
         y = y + contrib0.reshape(t, b)
@@ -455,7 +462,7 @@ def process_stream_aligned(cfg: TwoStageConfig, state: TwoStageState,
 
     if cfg.tail is not None:
         big = blocks.reshape(q, tb)
-        tail_state, out_t = uniform.process_stream(cfg.tail, state.tail, big)
+        tail_state, out_t = big_stream(cfg.tail, state.tail, big)
         heads_ = [state.tail_precalc[None], state.tail_output[None]]
         contrib = jnp.concatenate(heads_ + [out_t[:-2]], axis=0)[:q]
         y = y + contrib.reshape(t, b)

@@ -382,6 +382,19 @@ def _stream_conv(cfg: UniformConfig, state: UniformState,
     return new_state._replace(pre_multiplied=pre), convs
 
 
+def stream_scan_unguarded(cfg: UniformConfig, state: UniformState,
+                          blocks: jnp.ndarray) -> Tuple[UniformState, jnp.ndarray]:
+    """Hoisted-DFT ring-scan stream without safety conds (vmap-friendly;
+    preferred over the conv core for huge blocks or very short streams)."""
+    b = cfg.block_size
+    specs = rdft_block(blocks, cfg.fft_size)
+    new_state, convs = _stream_ring_scan(cfg, state, specs)
+    outs = irdft_block(convs, cfg.fft_size)
+    tails = jnp.concatenate([state.overlap[None], outs[:-1, b:]], axis=0)
+    y = outs[:, :b] + tails
+    return new_state._replace(overlap=outs[-1, b:]), y
+
+
 def stream_conv_unguarded(cfg: UniformConfig, state: UniformState,
                           blocks: jnp.ndarray) -> Tuple[UniformState, jnp.ndarray]:
     """The conv-HLO stream without the safety conds — preconditions

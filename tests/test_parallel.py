@@ -112,3 +112,30 @@ def test_farm_update_batched():
         c.update(new_irs[voice])
         y_ref = c.process(x[3:, voice, :].reshape(-1))
         np.testing.assert_allclose(y[:, voice, :].reshape(-1), y_ref, atol=1e-5)
+
+
+def test_two_stage_farm_matches_per_voice():
+    from fft_convolution_tpu import TwoStageFFTConvolver
+    from fft_convolution_tpu.parallel import farm2
+
+    rng = np.random.default_rng(15)
+    v, b = 3, 64
+    ir_len = 9000
+    irs = rng.standard_normal((v, ir_len)).astype(np.float32) * 0.05
+    cfg, state = farm2.farm2_init(irs, b, ir_len)
+    p = cfg.period
+    t = 3 * p
+    x = rng.standard_normal((t, v, b)).astype(np.float32)
+
+    run = jax.jit(functools.partial(farm2.farm2_stream, cfg))
+    state, y1 = run(state, jnp.asarray(x))
+    state, y2 = run(state, jnp.asarray(x))  # continuation across calls
+    y = np.concatenate([np.asarray(y1), np.asarray(y2)], axis=0)
+
+    for voice in range(v):
+        c = TwoStageFFTConvolver(irs[voice], b, ir_len)
+        y_ref = c.process(np.concatenate([x, x], axis=0)[:, voice, :].reshape(-1))
+        np.testing.assert_allclose(
+            y[:, voice, :].reshape(-1), y_ref, atol=1e-5,
+            err_msg=f"voice {voice}",
+        )
