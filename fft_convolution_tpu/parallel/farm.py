@@ -45,7 +45,15 @@ def farm_init(
     zeros = jax.tree.map(
         lambda leaf: jnp.broadcast_to(leaf, (v,) + leaf.shape), uniform.zero_state(cfg)
     )
-    state = jax.vmap(functools.partial(uniform.update, cfg))(zeros, padded, new_len)
+    # chunked map, not vmap: a fully batched 4-step DFT materializes ~6
+    # full-size intermediates of the whole IR set, OOMing large farms at init
+    batch = max(1, int(2e8 // max(1, cfg.seg_count * cfg.block_size * 8)))
+    state = jax.jit(
+        lambda z, p, n: jax.lax.map(
+            lambda args: uniform.update(cfg, *args), (z, p, n),
+            batch_size=min(batch, v),
+        )
+    )(zeros, padded, new_len)
     return cfg, state
 
 

@@ -172,3 +172,45 @@ def test_alternative_mixers():
             cfg, st, np.full(1, 1.0, np.float32), np.full(1, 10.0, np.float32)
         )
         np.testing.assert_allclose(float(y[0]), expected, atol=1e-6)
+
+
+def test_ragged_sizes_match_fused_path():
+    """Ragged process() sizes (unfused fallback) must agree with the fused
+    block-aligned path."""
+    rng = np.random.default_rng(50)
+    ir = rng.standard_normal(400).astype(np.float32) * 0.1
+    x = rng.standard_normal(128 * 12).astype(np.float32)
+
+    def make():
+        return CrossfadeConvolver(FFTConvolver(ir, 128, 400), 400, 128, 300)
+
+    cc_fused = make()
+    y_fused = [cc_fused.process(x[i * 256:(i + 1) * 256]) for i in range(6)]
+
+    cc_ragged = make()
+    sizes = [100, 156, 256, 200, 56, 256] + [128] * 2 + [256]
+    assert sum(sizes) == 128 * 12
+    pieces, pos = [], 0
+    for s in sizes:
+        pieces.append(cc_ragged.process(x[pos:pos + s]))
+        pos += s
+    np.testing.assert_allclose(
+        np.concatenate(pieces), np.concatenate(y_fused), atol=1e-5
+    )
+
+
+def test_two_stage_inner_engine():
+    """CrossfadeConvolver is generic over the engine (reference
+    CrossfadeConvolver<T>); a two-stage inner works for processing, and
+    update propagates the inner NotImplementedError exactly as the generic
+    would hit the upstream todo!() panic."""
+    from fft_convolution_tpu import TwoStageFFTConvolver
+
+    response = np.zeros(1024, np.float32)
+    response[0] = 1.0
+    inner = TwoStageFFTConvolver(response, 128, 1024)
+    cc = CrossfadeConvolver(inner, 1024, 128, 256)
+    y = cc.process(np.ones(128, np.float32))
+    np.testing.assert_allclose(y, 1.0, atol=1e-6)
+    with pytest.raises(NotImplementedError):
+        cc.update(response)
