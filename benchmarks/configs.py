@@ -23,20 +23,22 @@ def _chain_time(fn, state, x, chain=4, reps=3):
     import jax.numpy as jnp
     import numpy as np
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(0,))
     def chained(st, xs):
+        # state is donated so the scan carry ping-pongs in place — without
+        # it, multi-GB farm states exist in triplicate and OOM the chip
         def body(s, _):
             s2, y = fn(s, xs)
             return s2, jnp.sum(y)
         sf, sums = jax.lax.scan(body, st, None, length=chain)
         return sf, jnp.sum(sums)
 
-    sf, v = chained(state, x)
+    st, v = chained(state, x)
     _ = float(v)
     times = []
     for _i in range(reps):
         t0 = time.perf_counter()
-        sf, v = chained(state, x)
+        st, v = chained(st, x)
         _ = float(v)
         times.append((time.perf_counter() - t0) / chain)
     return float(np.median(times))
@@ -161,8 +163,9 @@ def config5_reverb_farm(voices: int = 1024, ir_seconds: int = 60):
 
     block = 128
     hbm = 15e9 if jax.devices()[0].platform == "tpu" else 2e9
-    # state ~16L/voice + stream working set + init transients -> 28L budget
-    per_voice = 28 * ir_seconds * SR
+    # state ~16L/voice, doubled by the chained-timing scan carry, plus the
+    # stream working set -> 40L budget
+    per_voice = 40 * ir_seconds * SR
     voices = int(min(voices, max(1, hbm // per_voice)))
 
     rng = np.random.default_rng(4)

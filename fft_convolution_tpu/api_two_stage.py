@@ -103,19 +103,27 @@ class TwoStageFFTConvolver:
         x = np.asarray(input, np.float32)
         n = x.shape[0]
         b = self.cfg.head_block
+        tb = self.cfg.tail_block
         if n == 0:
             return np.zeros((0,), np.float32)
-        if (self._fill == 0 and self._period_fill == 0
-                and n % self.cfg.tail_block == 0):
-            # period-aligned batched path: all DFTs hoisted onto the MXU
-            self.state, y = _jit_stream_aligned(self.cfg)(
-                self.state, jnp.reshape(x, (-1, b))
-            )
-            return np.asarray(y).reshape(-1)
         if self._fill == 0 and n % b == 0:
-            self.state, y = _jit_stream(self.cfg)(self.state, jnp.reshape(x, (-1, b)))
-            self._period_fill = (self._period_fill + n) % self.cfg.tail_block
-            return np.asarray(y).reshape(-1)
+            # split at period boundaries so the bulk of any long stream runs
+            # on the aligned batched path; ragged period edges use the scan
+            pre = 0 if self._period_fill == 0 else min(n, tb - self._period_fill)
+            aligned = ((n - pre) // tb) * tb
+            pieces = []
+            for lo, hi, fn in (
+                (0, pre, _jit_stream(self.cfg)),
+                (pre, pre + aligned, _jit_stream_aligned(self.cfg)),
+                (pre + aligned, n, _jit_stream(self.cfg)),
+            ):
+                if hi > lo:
+                    self.state, y = fn(
+                        self.state, jnp.reshape(x[lo:hi], (-1, b))
+                    )
+                    pieces.append(np.asarray(y).reshape(-1))
+            self._period_fill = (self._period_fill + n) % tb
+            return pieces[0] if len(pieces) == 1 else np.concatenate(pieces)
         return self._process_chunked(x)
 
     def _process_chunked(self, x: np.ndarray) -> np.ndarray:
