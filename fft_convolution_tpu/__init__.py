@@ -22,6 +22,7 @@ __all__ = [
     "FFTConvolver",
     "TwoStageFFTConvolver",
     "CrossfadeConvolver",
+    "PallasFFTConvolver",
 ]
 
 
@@ -33,4 +34,7 @@ def __getattr__(name):
     if name == "CrossfadeConvolver":
         from .api_crossfade import CrossfadeConvolver
         return CrossfadeConvolver
+    if name == "PallasFFTConvolver":
+        from .serving import PallasFFTConvolver
+        return PallasFFTConvolver
     raise AttributeError(name)

@@ -127,16 +127,20 @@ def init(
         tail0=tail0_cfg,
         tail=tail_cfg,
     )
-    zeros_t = jnp.zeros((tail_block,), jnp.float32)
+    # distinct arrays per field: a shared zeros buffer cannot be donated
+    # more than once by downstream jits
+    def zeros_t():
+        return jnp.zeros((tail_block,), jnp.float32)
+
     state = TwoStageState(
         head=head_state,
         tail0=tail0_state,
         tail=tail_state,
-        tail_output0=zeros_t,
-        tail_precalc0=zeros_t,
-        tail_output=zeros_t,
-        tail_precalc=zeros_t,
-        tail_input=zeros_t,
+        tail_output0=zeros_t(),
+        tail_precalc0=zeros_t(),
+        tail_output=zeros_t(),
+        tail_precalc=zeros_t(),
+        tail_input=zeros_t(),
         tail_fill=jnp.zeros((), jnp.int32),
         precalc_pos=jnp.zeros((), jnp.int32),
     )

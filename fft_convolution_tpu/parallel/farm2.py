@@ -76,13 +76,17 @@ def farm2_init(irs, block_size: int, max_response_length: int
         head_block=head_block, tail_block=tb,
         head=head_cfg, tail0=tail0_cfg, tail=tail_cfg,
     )
-    zeros_t = jnp.zeros((v, tb), jnp.float32)
-    zeros_i = jnp.zeros((v,), jnp.int32)
+    # distinct arrays per field: donation rejects one buffer donated twice
+    def zeros_t():
+        return jnp.zeros((v, tb), jnp.float32)
+
     state = two_stage.TwoStageState(
         head=head_state, tail0=tail0_state, tail=tail_state,
-        tail_output0=zeros_t, tail_precalc0=zeros_t,
-        tail_output=zeros_t, tail_precalc=zeros_t,
-        tail_input=zeros_t, tail_fill=zeros_i, precalc_pos=zeros_i,
+        tail_output0=zeros_t(), tail_precalc0=zeros_t(),
+        tail_output=zeros_t(), tail_precalc=zeros_t(),
+        tail_input=zeros_t(),
+        tail_fill=jnp.zeros((v,), jnp.int32),
+        precalc_pos=jnp.zeros((v,), jnp.int32),
     )
     return cfg, state
 

@@ -63,3 +63,45 @@ def test_vmem_budget_check():
     assert pallas_engine.fits_vmem(cfg_small)
     cfg_huge = uniform.make_config(128, 48000 * 60)
     assert not pallas_engine.fits_vmem(cfg_huge)
+
+
+def test_pallas_serving_convolver():
+    """Public serving wrapper: process/update/reset/clone contracts."""
+    import pytest
+
+    from fft_convolution_tpu.serving import PallasFFTConvolver
+    from fft_convolution_tpu import FFTConvolver
+
+    rng = np.random.default_rng(32)
+    b = 128
+    ir = rng.standard_normal(b * 4).astype(np.float32) * 0.1
+    ir2 = rng.standard_normal(b * 2).astype(np.float32) * 0.1
+    x = rng.standard_normal(b * 8).astype(np.float32)
+
+    p = PallasFFTConvolver(ir, b, len(ir))
+    ref = FFTConvolver(ir, b, len(ir))
+    for t in range(4):
+        yb = p.process(x[t * b:(t + 1) * b])
+        yr = ref.process(x[t * b:(t + 1) * b])
+        np.testing.assert_allclose(yb, yr, atol=1e-5)
+
+    p.update(ir2)
+    ref.update(ir2)
+    for t in range(4, 8):
+        yb = p.process(x[t * b:(t + 1) * b])
+        yr = ref.process(x[t * b:(t + 1) * b])
+        np.testing.assert_allclose(yb, yr, atol=1e-5)
+
+    with pytest.raises(ValueError):
+        p.process(x[:b - 1])
+    with pytest.raises(ValueError):
+        p.update(np.ones(len(ir) + 1, np.float32))
+    with pytest.raises(ValueError):
+        PallasFFTConvolver(np.ones(10, np.float32), 128, 48000 * 60)
+
+    p.reset()
+    snap = p.snapshot()
+    y1 = p.process(x[:b])
+    p.restore(snap)
+    y2 = p.process(x[:b])
+    np.testing.assert_array_equal(y1, y2)
