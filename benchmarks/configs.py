@@ -18,30 +18,49 @@ SR = 48000
 
 
 def _chain_time(fn, state, x, chain=4, reps=3):
-    """Median wall time of one fn(state, x) stream, forced by chaining."""
+    """Device wall time of one ``fn(state, x)`` stream.
+
+    Two-point slope methodology: the relay fronting this TPU costs ~25 ms
+    fixed per dispatch+fetch, so a single chained run mostly measures the
+    link.  Timing scans of ``c1`` and ``c2`` chained iterations and taking
+    ``(T(c2) - T(c1)) / (c2 - c1)`` cancels every per-call constant exactly,
+    leaving pure device time per iteration.
+    """
     import jax
     import jax.numpy as jnp
     import numpy as np
 
-    @functools.partial(jax.jit, donate_argnums=(0,))
-    def chained(st, xs):
-        # state is donated so the scan carry ping-pongs in place — without
-        # it, multi-GB farm states exist in triplicate and OOM the chip
-        def body(s, _):
-            s2, y = fn(s, xs)
-            return s2, jnp.sum(y)
-        sf, sums = jax.lax.scan(body, st, None, length=chain)
-        return sf, jnp.sum(sums)
+    del chain
+    c1, c2 = 2, 18
 
-    st, v = chained(state, x)
-    _ = float(v)
-    times = []
-    for _i in range(reps):
-        t0 = time.perf_counter()
-        st, v = chained(st, x)
+    def build(length):
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def chained(st, xs):
+            # donated state: the scan carry ping-pongs in place (multi-GB
+            # farm states would otherwise exist in triplicate and OOM)
+            def body(s, _):
+                s2, y = fn(s, xs)
+                return s2, jnp.sum(y)
+            sf, sums = jax.lax.scan(body, st, None, length=length)
+            return sf, jnp.sum(sums)
+        return chained
+
+    run1, run2 = build(c1), build(c2)
+
+    def timed(run, st):
+        st, v = run(st, x)   # warm (compile)
         _ = float(v)
-        times.append((time.perf_counter() - t0) / chain)
-    return float(np.median(times))
+        best = float("inf")
+        for _i in range(reps):
+            t0 = time.perf_counter()
+            st, v = run(st, x)
+            _ = float(v)
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    t1 = timed(run1, jax.tree.map(jnp.copy, state))
+    t2 = timed(run2, jax.tree.map(jnp.copy, state))
+    return max((t2 - t1) / (c2 - c1), 1e-9)
 
 
 def config1_mono_parity():
