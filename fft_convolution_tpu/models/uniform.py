@@ -33,7 +33,7 @@ from typing import NamedTuple, Tuple
 import jax
 import jax.numpy as jnp
 
-from ..ops.cpx import pmul
+from ..ops.cpx import pmul, pmul_sum
 from ..ops.fft import (
     copy_and_pad,
     ir_to_spectra,
@@ -331,10 +331,28 @@ def _stream_conv(cfg: UniformConfig, state: UniformState,
     current = state.current
 
     # chronological history: E[k] holds X[-(N-1-k)] at ring slot
-    # (current + delay) % active  [delays >= active are kernel-masked]
-    k = jnp.arange(n - 1, dtype=jnp.int32)
-    hist = jnp.take(state.segments, (current + (n - 1 - k)) % active_safe, axis=0)
-    ext = jnp.concatenate([hist, specs], axis=0)            # [T+N-1, 2, B]
+    # (current + delay) % active  [delays >= active are kernel-masked].
+    # Arbitrary row gathers are slow on TPU; with a FULL ring (active == N,
+    # the overwhelmingly common case) the history is one contiguous window
+    # of the doubled ring, reversed — a dynamic slice instead of a gather.
+    def hist_slice():
+        seg2 = jnp.concatenate([state.segments, state.segments], axis=0)
+        window = jax.lax.dynamic_slice(
+            seg2, (current + 1, 0, 0), (max(n - 1, 1), 2, b)
+        )
+        return jnp.flip(window, axis=0)[: n - 1]
+
+    def hist_gather():
+        k = jnp.arange(n - 1, dtype=jnp.int32)
+        return jnp.take(
+            state.segments, (current + (n - 1 - k)) % active_safe, axis=0
+        )
+
+    if n > 1:
+        hist = jax.lax.cond(active == n, hist_slice, hist_gather)
+        ext = jnp.concatenate([hist, specs], axis=0)        # [T+N-1, 2, B]
+    else:
+        ext = specs
 
     # reversed, activity-masked kernel (XLA conv is cross-correlation)
     i = jnp.arange(n, dtype=jnp.int32)
@@ -367,19 +385,37 @@ def _stream_conv(cfg: UniformConfig, state: UniformState,
     # rebuild the ring: current' points at the NEXT write slot; slot at
     # offset d from it holds X[T-d] (d=0 wraps to the oldest, delay=active)
     current_f = jnp.mod(current - t, active_safe).astype(jnp.int32)
-    s = jnp.arange(n, dtype=jnp.int32)
-    d = jnp.mod(s - current_f, active_safe)
-    d_eff = jnp.where(d == 0, active_safe, d)
-    gathered = jnp.take(ext, (n - 1) + t - d_eff, axis=0)
-    segments = jnp.where((s < active)[:, None, None], gathered, state.segments)
 
-    new_state = state._replace(segments=segments, current=current_f)
-    # pre_multiplied must equal the sequential value after the last block —
-    # evaluated at the PRE-decrement head (src/fft_convolver.rs:244-261,287)
-    pre = fdl_mac(
-        segments, state.segments_ir, (current_f + 1) % active_safe, active
-    )
-    return new_state._replace(pre_multiplied=pre), convs
+    def rebuild_roll():
+        # full ring: the delay-ordered window byd[d-1] = ext[N-1+T-d] is a
+        # static reversed slice; placing byd[d-1] at slot (current'+d) % N
+        # is a roll; pre_multiplied is the masked MAC against byd directly
+        # (partition i of the next sub-block pairs delay i+1 = byd[i])
+        byd = jnp.flip(jax.lax.slice_in_dim(ext, t - 1, t - 1 + n, axis=0), axis=0)
+        segments = jnp.roll(byd, current_f + 1, axis=0)
+        i = jnp.arange(n, dtype=jnp.int32)
+        pre = pmul_sum(state.segments_ir, byd, i >= 1)
+        return segments, pre
+
+    def rebuild_gather():
+        s = jnp.arange(n, dtype=jnp.int32)
+        d = jnp.mod(s - current_f, active_safe)
+        d_eff = jnp.where(d == 0, active_safe, d)
+        gathered = jnp.take(ext, (n - 1) + t - d_eff, axis=0)
+        segments = jnp.where(
+            (s < active)[:, None, None], gathered, state.segments
+        )
+        # pre_multiplied must equal the sequential value after the last
+        # block — at the PRE-decrement head (src/fft_convolver.rs:244-287)
+        pre = fdl_mac(
+            segments, state.segments_ir, (current_f + 1) % active_safe, active
+        )
+        return segments, pre
+
+    segments, pre = jax.lax.cond(active == n, rebuild_roll, rebuild_gather)
+    return state._replace(
+        segments=segments, current=current_f, pre_multiplied=pre
+    ), convs
 
 
 def stream_scan_unguarded(cfg: UniformConfig, state: UniformState,

@@ -33,6 +33,22 @@ def _jit_step(cfg: uniform.UniformConfig, interpret: bool):
     )
 
 
+@functools.lru_cache(maxsize=None)
+def _jit_rebuild_ir(cfg: uniform.UniformConfig):
+    """One fixed-shape program: padded IR -> doubled re/im spectrum tables."""
+    from .ops.fft import ir_to_spectra
+
+    def rebuild(padded):
+        spec = ir_to_spectra(padded, cfg.block_size, cfg.seg_count)
+        ir_re, ir_im = spec[:, 0], spec[:, 1]
+        return (
+            jnp.concatenate([ir_re, ir_re], axis=0),
+            jnp.concatenate([ir_im, ir_im], axis=0),
+        )
+
+    return jax.jit(rebuild)
+
+
 class PallasFFTConvolver:
     """Fused-kernel uniform convolver for single-block real-time serving."""
 
@@ -60,9 +76,10 @@ class PallasFFTConvolver:
         response = np.asarray(response, np.float32)
         if response.shape[0] > self.cfg.ir_len:
             raise ValueError("New impulse response is longer than initialized length")
-        _, st = uniform.init(response, self.cfg.block_size, self.cfg.ir_len)
-        consts, _ = pallas_engine.from_uniform(self.cfg, st)
-        self.consts = consts
+        padded = np.zeros(self.cfg.seg_count * self.cfg.block_size, np.float32)
+        padded[: response.shape[0]] = response
+        ir2_re, ir2_im = _jit_rebuild_ir(self.cfg)(jnp.asarray(padded))
+        self.consts = self.consts._replace(ir2_re=ir2_re, ir2_im=ir2_im)
         self.state = self.state._replace(
             overlap=jnp.zeros_like(self.state.overlap)
         )
