@@ -291,9 +291,16 @@ def _stream_ring_scan(cfg: UniformConfig, state: UniformState,
     caller; this scans only the FDL ring recurrence (write one spectrum
     row, masked MAC, emit ``conv[t]``).  Mirrors the sequential ops 1:1,
     including the shrunk-ring transient where ``current >= active_segs``
-    writes land in dead slots (``src/fft_convolver.rs:236-291``)."""
+    writes land in dead slots (``src/fft_convolver.rs:236-291``).
 
-    def step(carry, spec):
+    With a full ring (``active == seg_count``) the per-step partition
+    pairing uses a contiguous window of a doubled IR table instead of a row
+    gather (TPU gathers are slow): stored row j pairs
+    ``ir[(j - current) mod N]`` = ``ir2[N - current + j]``.
+    """
+    n = cfg.seg_count
+
+    def step_gather(carry, spec):
         segments, current, _pre = carry
         segments = jax.lax.dynamic_update_index_in_dim(
             segments, spec, current, axis=0
@@ -305,10 +312,43 @@ def _stream_ring_scan(cfg: UniformConfig, state: UniformState,
         ).astype(jnp.int32)
         return (segments, current, pre), conv
 
-    (segments, current, pre), convs = jax.lax.scan(
-        step, (state.segments, state.current, state.pre_multiplied), specs
+    def run_gather():
+        return jax.lax.scan(
+            step_gather, (state.segments, state.current, state.pre_multiplied), specs
+        )
+
+    (segments, current, pre), convs = jax.lax.cond(
+        state.active_segs == n,
+        lambda: _ring_scan_sliced(cfg, state, specs),
+        run_gather,
     )
     return state._replace(segments=segments, current=current, pre_multiplied=pre), convs
+
+
+def _ring_scan_sliced(cfg: UniformConfig, state: UniformState, specs: jnp.ndarray):
+    """Full-ring scan core (precondition ``active == seg_count``): the
+    per-step IR pairing is a doubled-table dynamic slice — no gather, no
+    cond (vmap-safe)."""
+    n = cfg.seg_count
+    ir2 = jnp.concatenate([state.segments_ir, state.segments_ir], axis=0)
+    j = jnp.arange(n, dtype=jnp.int32)
+
+    def step(carry, spec):
+        segments, current, _pre = carry
+        segments = jax.lax.dynamic_update_index_in_dim(
+            segments, spec, current, axis=0
+        )
+        rolled = jax.lax.dynamic_slice(
+            ir2, (n - current, 0, 0), (n, 2, cfg.block_size)
+        )
+        pre = pmul_sum(rolled, segments, j != current)
+        conv = pre + pmul(spec, state.segments_ir[0])
+        current = jnp.where(current > 0, current - 1, n - 1).astype(jnp.int32)
+        return (segments, current, pre), conv
+
+    return jax.lax.scan(
+        step, (state.segments, state.current, state.pre_multiplied), specs
+    )
 
 
 def _stream_conv(cfg: UniformConfig, state: UniformState,
@@ -421,10 +461,15 @@ def _stream_conv(cfg: UniformConfig, state: UniformState,
 def stream_scan_unguarded(cfg: UniformConfig, state: UniformState,
                           blocks: jnp.ndarray) -> Tuple[UniformState, jnp.ndarray]:
     """Hoisted-DFT ring-scan stream without safety conds (vmap-friendly;
-    preferred over the conv core for huge blocks or very short streams)."""
+    preferred over the conv core for huge blocks or very short streams).
+    Precondition: full clean ring (``active == seg_count``) — holds for any
+    engine that has not been shrunk by an update."""
     b = cfg.block_size
     specs = rdft_block(blocks, cfg.fft_size)
-    new_state, convs = _stream_ring_scan(cfg, state, specs)
+    (segments, current, pre), convs = _ring_scan_sliced(cfg, state, specs)
+    new_state = state._replace(
+        segments=segments, current=current, pre_multiplied=pre
+    )
     outs = irdft_block(convs, cfg.fft_size)
     tails = jnp.concatenate([state.overlap[None], outs[:-1, b:]], axis=0)
     y = outs[:, :b] + tails
