@@ -352,7 +352,8 @@ def _ring_scan_sliced(cfg: UniformConfig, state: UniformState, specs: jnp.ndarra
 
 
 def _stream_conv(cfg: UniformConfig, state: UniformState,
-                 specs: jnp.ndarray) -> Tuple[UniformState, jnp.ndarray]:
+                 specs: jnp.ndarray,
+                 assume_full_ring: bool = False) -> Tuple[UniformState, jnp.ndarray]:
     """Fully parallel stream core: the FDL recurrence
     ``conv[t] = sum_i IR[i] (*) X[t-i]`` is a *depthwise causal convolution*
     along the block axis, so the whole stream becomes two grouped-conv HLOs
@@ -389,7 +390,12 @@ def _stream_conv(cfg: UniformConfig, state: UniformState,
         )
 
     if n > 1:
-        hist = jax.lax.cond(active == n, hist_slice, hist_gather)
+        if assume_full_ring:
+            # static fast path (vmap callers: a traced cond would execute
+            # BOTH branches per voice) — precondition active == seg_count
+            hist = hist_slice()
+        else:
+            hist = jax.lax.cond(active == n, hist_slice, hist_gather)
         ext = jnp.concatenate([hist, specs], axis=0)        # [T+N-1, 2, B]
     else:
         ext = specs
@@ -452,7 +458,10 @@ def _stream_conv(cfg: UniformConfig, state: UniformState,
         )
         return segments, pre
 
-    segments, pre = jax.lax.cond(active == n, rebuild_roll, rebuild_gather)
+    if assume_full_ring:
+        segments, pre = rebuild_roll()
+    else:
+        segments, pre = jax.lax.cond(active == n, rebuild_roll, rebuild_gather)
     return state._replace(
         segments=segments, current=current_f, pre_multiplied=pre
     ), convs
@@ -482,10 +491,12 @@ def stream_conv_unguarded(cfg: UniformConfig, state: UniformState,
     ``0 < active_segs`` and ``current < active_segs`` checked by the caller.
     vmap-friendly (no data-dependent cond that vmap would turn into
     execute-both-branches selects): the reverb farm maps this over voices.
+    Precondition: full clean ring (``active == seg_count``, ``current <
+    active``) — holds for any engine not shrunk by an update.
     """
     b = cfg.block_size
     specs = rdft_block(blocks, cfg.fft_size)
-    new_state, convs = _stream_conv(cfg, state, specs)
+    new_state, convs = _stream_conv(cfg, state, specs, assume_full_ring=True)
     outs = irdft_block(convs, cfg.fft_size)
     tails = jnp.concatenate([state.overlap[None], outs[:-1, b:]], axis=0)
     y = outs[:, :b] + tails

@@ -83,7 +83,8 @@ def farm_stream(cfg: uniform.UniformConfig, state: uniform.UniformState,
     vx = jnp.swapaxes(blocks, 0, 1)  # [V, T, B]
 
     clean = jnp.all(
-        (state.current < state.active_segs) & (state.active_segs > 0)
+        (state.current < state.active_segs)
+        & (state.active_segs == cfg.seg_count)
     )
 
     def fast(st):
