@@ -471,11 +471,29 @@ def stream_scan_unguarded(cfg: UniformConfig, state: UniformState,
                           blocks: jnp.ndarray) -> Tuple[UniformState, jnp.ndarray]:
     """Hoisted-DFT ring-scan stream without safety conds (vmap-friendly;
     preferred over the conv core for huge blocks or very short streams).
-    Precondition: full clean ring (``active == seg_count``) — holds for any
-    engine that has not been shrunk by an update."""
+
+    Uses the gather step rather than the doubled-IR slice: vmapped farm
+    voices would pay 2x IR memory each for the doubled table, and the
+    two-stage tails this serves have few segments (gathers stay cheap).
+    """
     b = cfg.block_size
     specs = rdft_block(blocks, cfg.fft_size)
-    (segments, current, pre), convs = _ring_scan_sliced(cfg, state, specs)
+
+    def step(carry, spec):
+        segments, current, _pre = carry
+        segments = jax.lax.dynamic_update_index_in_dim(
+            segments, spec, current, axis=0
+        )
+        pre = fdl_mac(segments, state.segments_ir, current, state.active_segs)
+        conv = pre + pmul(spec, state.segments_ir[0])
+        current = jnp.where(
+            current > 0, current - 1, state.active_segs - 1
+        ).astype(jnp.int32)
+        return (segments, current, pre), conv
+
+    (segments, current, pre), convs = jax.lax.scan(
+        step, (state.segments, state.current, state.pre_multiplied), specs
+    )
     new_state = state._replace(
         segments=segments, current=current, pre_multiplied=pre
     )

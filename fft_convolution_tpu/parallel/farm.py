@@ -69,27 +69,52 @@ def farm_step(cfg: uniform.UniformConfig, state: uniform.UniformState,
     return jax.vmap(functools.partial(uniform.process_block, cfg))(state, x)
 
 
+def lockstep_vmap_stream(stream_fn, state, vx):
+    """vmap a per-voice stream over the voice axis with all per-voice
+    SCALAR state (current, fills, counters) passed UNBATCHED.
+
+    Farm voices advance in lockstep (same block count every call), so these
+    scalars are identical across voices; telling vmap so turns every
+    ring dynamic-slice/roll into one shared-index operation instead of a
+    per-voice gather (~10x on TPU).  1-D leaves are the former scalars.
+    """
+    axes = jax.tree.map(lambda leaf: None if leaf.ndim == 1 else 0, state)
+    shared = jax.tree.map(
+        lambda leaf: leaf[0] if leaf.ndim == 1 else leaf, state
+    )
+    st2, ys = jax.vmap(stream_fn, in_axes=(axes, 0), out_axes=(axes, 0))(
+        shared, vx
+    )
+    v = vx.shape[0]
+    st2 = jax.tree.map(
+        lambda leaf, ax: leaf if ax == 0 else jnp.broadcast_to(leaf, (v,) + leaf.shape),
+        st2, axes,
+    )
+    return st2, ys
+
+
 def farm_stream(cfg: uniform.UniformConfig, state: uniform.UniformState,
                 blocks: jnp.ndarray) -> Tuple[uniform.UniformState, jnp.ndarray]:
     """Stream ``blocks [T, V, B]`` through the farm -> ``[T, V, B]``.
 
-    Fast path: every voice's ring is clean (``0 < active <= current`` never
-    holds) -> vmap the fully parallel conv-HLO stream over voices — one
-    batched program with zero sequential steps.  The predicate is reduced
-    over ALL voices so the ``lax.cond`` stays unbatched (vmapping a cond
-    would execute both branches for every voice); the fallback is the exact
-    per-block scan.
+    Fast path: every voice's ring is full and clean and the voices are in
+    lockstep -> vmap the fully parallel conv-HLO stream over voices with
+    shared ring indices — one batched program with zero sequential steps.
+    The predicate is reduced over ALL voices so the ``lax.cond`` stays
+    unbatched (vmapping a cond would execute both branches per voice); the
+    fallback is the exact per-block scan.
     """
     vx = jnp.swapaxes(blocks, 0, 1)  # [V, T, B]
 
-    clean = jnp.all(
-        (state.current < state.active_segs)
-        & (state.active_segs == cfg.seg_count)
+    clean = (
+        jnp.all(state.active_segs == cfg.seg_count)
+        & jnp.all(state.current == state.current[0])
+        & jnp.all(state.current < state.active_segs)
     )
 
     def fast(st):
-        st2, ys = jax.vmap(functools.partial(uniform.stream_conv_unguarded, cfg))(
-            st, vx
+        st2, ys = lockstep_vmap_stream(
+            functools.partial(uniform.stream_conv_unguarded, cfg), st, vx
         )
         return st2, jnp.swapaxes(ys, 0, 1)
 

@@ -94,12 +94,16 @@ def farm2_init(irs, block_size: int, max_response_length: int
 def farm2_stream(cfg: two_stage.TwoStageConfig, state: two_stage.TwoStageState,
                  blocks: jnp.ndarray) -> Tuple[two_stage.TwoStageState, jnp.ndarray]:
     """Stream ``blocks [T, V, B]`` -> ``[T, V, B]``; requires period-aligned
-    state (fresh or after period-multiple streams) and ``T % period == 0``."""
+    state (fresh or after period-multiple streams) and ``T % period == 0``.
+
+    Voices run in lockstep (same T every call), so all per-voice scalars
+    (ring heads, period counters) vmap unbatched — ring slices stay
+    shared-index operations instead of per-voice gathers."""
     vx = jnp.swapaxes(blocks, 0, 1)  # [V, T, B]
     per_voice = functools.partial(
         two_stage.process_stream_aligned, cfg,
         small_stream=uniform.stream_conv_unguarded,
         big_stream=uniform.stream_scan_unguarded,
     )
-    st2, ys = jax.vmap(per_voice)(state, vx)
+    st2, ys = farm.lockstep_vmap_stream(per_voice, state, vx)
     return st2, jnp.swapaxes(ys, 0, 1)
