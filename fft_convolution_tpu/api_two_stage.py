@@ -10,7 +10,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .models import two_stage, uniform
+from .models import two_stage
 
 
 @functools.lru_cache(maxsize=None)

@@ -28,7 +28,6 @@ crossfade wrapper, as upstream intends).
 from __future__ import annotations
 
 import dataclasses
-import math
 from typing import NamedTuple, Optional, Tuple
 
 import jax
