@@ -405,18 +405,19 @@ def _stream_conv(cfg: UniformConfig, state: UniformState,
     kern = jnp.where((i < active)[:, None, None], state.segments_ir, 0.0)
     kern = kern[::-1]                                        # [N, 2, B]
 
-    # depthwise conv: channels = (re|im) x B, batch 1, length T+N-1 -> T
-    lhs = ext.reshape(1, t + n - 1, 2 * b).transpose(0, 2, 1)   # [1, 2B, L]
-    ker_a = kern.reshape(n, 2 * b).T[:, None, :]                # [2B, 1, N]
-    ker_b = kern.reshape(n, 2, b)[:, ::-1, :].reshape(n, 2 * b).T[:, None, :]
-    dn = jax.lax.conv_dimension_numbers(lhs.shape, ker_a.shape, ("NCH", "OIH", "NCH"))
+    # depthwise conv: channels = (re|im) x B, batch 1, length T+N-1 -> T.
+    # NHC layout keeps channels on the lane axis with NO transposes
+    lhs = ext.reshape(1, t + n - 1, 2 * b)                      # [1, L, 2B]
+    ker_a = kern.reshape(n, 1, 2 * b)                           # [N, 1, 2B]
+    ker_b = kern[:, ::-1, :].reshape(n, 1, 2 * b)
+    dn = jax.lax.conv_dimension_numbers(lhs.shape, ker_a.shape, ("NHC", "HIO", "NHC"))
 
     def dconv(kernel):
         return jax.lax.conv_general_dilated(
             lhs, kernel, window_strides=(1,), padding="VALID",
             dimension_numbers=dn, feature_group_count=2 * b,
             precision=jax.lax.Precision.HIGHEST,
-        )[0].T.reshape(t, 2, b)
+        )[0].reshape(t, 2, b)
 
     rr_ii = dconv(ker_a)   # [:,0]=sum Er*IRr, [:,1]=sum Ei*IRi
     ri_ir = dconv(ker_b)   # [:,0]=sum Er*IRi, [:,1]=sum Ei*IRr
@@ -519,6 +520,80 @@ def stream_conv_unguarded(cfg: UniformConfig, state: UniformState,
     tails = jnp.concatenate([state.overlap[None], outs[:-1, b:]], axis=0)
     y = outs[:, :b] + tails
     return new_state._replace(overlap=outs[-1, b:]), y
+
+
+def stream_conv_farm(cfg: UniformConfig, state: UniformState,
+                     vx: jnp.ndarray) -> Tuple[UniformState, jnp.ndarray]:
+    """Farm-native conv stream: ``state`` leaves carry a leading voice axis
+    V, ``vx`` is ``[V, T, B]``; voices fold into the grouped-conv channel
+    axis MANUALLY (``C = V * 2B``) — vmapping a conv with per-voice kernels
+    hits a pathological batching rule (~45x slower measured).
+
+    Preconditions (lockstep farm): full clean rings on every voice
+    (``active == seg_count``, ``current < active``) and identical ``current``
+    across voices (they always process the same number of blocks).
+    """
+    v, t = vx.shape[0], vx.shape[1]
+    n, b = cfg.seg_count, cfg.block_size
+    current = state.current[0]
+    active_n = jnp.asarray(n, jnp.int32)
+
+    specs = rdft_block(vx, cfg.fft_size)                     # [V, T, 2, B]
+
+    if n > 1:
+        seg2 = jnp.concatenate([state.segments, state.segments], axis=1)
+        window = jax.lax.dynamic_slice(
+            seg2, (0, current + 1, 0, 0), (v, n - 1, 2, b)
+        )
+        hist = jnp.flip(window, axis=1)
+        ext = jnp.concatenate([hist, specs], axis=1)         # [V, T+N-1, 2, B]
+    else:
+        ext = specs
+
+    kern = state.segments_ir[:, ::-1]                        # reversed (x-corr)
+
+    # NHC layout: channels (= V x 2B) stay on the lane axis end to end —
+    # an NCH formulation needs lane-axis transposes that cost 10x the conv
+    sl = t + n - 1
+    lhs = ext.reshape(v, sl, 2 * b).swapaxes(0, 1).reshape(1, sl, v * 2 * b)
+    ker_a = kern.reshape(v, n, 2 * b).swapaxes(0, 1).reshape(n, 1, v * 2 * b)
+    ker_b = kern[:, :, ::-1].reshape(v, n, 2 * b).swapaxes(0, 1).reshape(n, 1, v * 2 * b)
+    dn = jax.lax.conv_dimension_numbers(lhs.shape, ker_a.shape, ("NHC", "HIO", "NHC"))
+
+    def dconv(kernel):
+        out = jax.lax.conv_general_dilated(
+            lhs, kernel, window_strides=(1,), padding="VALID",
+            dimension_numbers=dn, feature_group_count=v * 2 * b,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        return out.reshape(t, v, 2, b).swapaxes(0, 1)         # [V, T, 2, B]
+
+    rr_ii = dconv(ker_a)
+    ri_ir = dconv(ker_b)
+    from ..ops.cpx import _lane0_mask
+
+    m0 = jnp.asarray(_lane0_mask(b))
+    conv_re = rr_ii[:, :, 0] - rr_ii[:, :, 1] * (1.0 - m0)
+    conv_im = (ri_ir[:, :, 0] + ri_ir[:, :, 1]) * (1.0 - m0) + rr_ii[:, :, 1] * m0
+    convs = jnp.stack([conv_re, conv_im], axis=2)            # [V, T, 2, B]
+
+    # ring rebuild (shared indices across voices)
+    current_f = jnp.mod(current - t, active_n).astype(jnp.int32)
+    byd = jnp.flip(jax.lax.slice_in_dim(ext, t - 1, t - 1 + n, axis=1), axis=1)
+    segments = jnp.roll(byd, current_f + 1, axis=1)
+    i = jnp.arange(n, dtype=jnp.int32)
+    pre = pmul_sum(state.segments_ir, byd, i >= 1)           # [V, 2, B]
+
+    outs = irdft_block(convs, cfg.fft_size)                  # [V, T, 2B]
+    tails = jnp.concatenate([state.overlap[:, None], outs[:, :-1, b:]], axis=1)
+    ys = outs[:, :, :b] + tails
+    new_state = state._replace(
+        segments=segments,
+        current=jnp.broadcast_to(current_f, (v,)),
+        pre_multiplied=pre,
+        overlap=outs[:, -1, b:],
+    )
+    return new_state, ys
 
 
 def process_stream(cfg: UniformConfig, state: UniformState,

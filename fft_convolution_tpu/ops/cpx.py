@@ -38,20 +38,20 @@ def pmul(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
 
 
 def pmul_sum(a: jnp.ndarray, b: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
-    """Masked sum over the leading (partition) axis of packed products —
-    the fused spectral MAC: ``sum_i mask[i] * a[i] (*) b[i]``.
+    """Masked sum over the partition axis of packed products — the fused
+    spectral MAC: ``sum_i mask[i] * a[i] (*) b[i]``.
 
-    ``a``, ``b``: [N, 2, B]; ``mask``: [N] float or bool.  Returns [2, B].
-    Decomposed so XLA fuses the whole reduction into one VPU pass; the four
-    partial reductions are contractions an MXU-friendly rewrite can pick up.
+    ``a``, ``b``: [..., N, 2, B]; ``mask``: [N] float or bool.  Returns
+    [..., 2, B].  Decomposed so XLA fuses the whole reduction into one VPU
+    pass; leading axes (e.g. farm voices) batch transparently.
     """
     m = mask.astype(a.dtype)[:, None]
-    ar, ai = a[:, 0, :], a[:, 1, :]
-    br, bi = b[:, 0, :], b[:, 1, :]
-    rr = jnp.sum(m * ar * br, axis=0)
-    ii = jnp.sum(m * ai * bi, axis=0)
-    ri = jnp.sum(m * ar * bi, axis=0)
-    ir = jnp.sum(m * ai * br, axis=0)
+    ar, ai = a[..., 0, :], a[..., 1, :]
+    br, bi = b[..., 0, :], b[..., 1, :]
+    rr = jnp.sum(m * ar * br, axis=-2)
+    ii = jnp.sum(m * ai * bi, axis=-2)
+    ri = jnp.sum(m * ar * bi, axis=-2)
+    ir = jnp.sum(m * ai * br, axis=-2)
     m0 = jnp.asarray(_lane0_mask(a.shape[-1]))
     re = rr - ii * (1.0 - m0)
     im = (ri + ir) * (1.0 - m0) + ii * m0

@@ -113,9 +113,7 @@ def farm_stream(cfg: uniform.UniformConfig, state: uniform.UniformState,
     )
 
     def fast(st):
-        st2, ys = lockstep_vmap_stream(
-            functools.partial(uniform.stream_conv_unguarded, cfg), st, vx
-        )
+        st2, ys = uniform.stream_conv_farm(cfg, st, vx)
         return st2, jnp.swapaxes(ys, 0, 1)
 
     def slow(st):
