@@ -35,6 +35,7 @@ import jax.numpy as jnp
 
 from ..ops.cpx import pmul, pmul_sum
 from ..ops.fft import (
+    causal_conv_time,
     copy_and_pad,
     ir_to_spectra,
     irdft_block,
@@ -400,34 +401,12 @@ def _stream_conv(cfg: UniformConfig, state: UniformState,
     else:
         ext = specs
 
-    # reversed, activity-masked kernel (XLA conv is cross-correlation)
+    # activity-masked kernel; the MAC over the whole stream runs as a
+    # second DFT along the block axis (ops.fft.causal_conv_time) — all MXU
+    # matmuls, vs ~100 GFLOPS for the grouped-conv HLO lowering
     i = jnp.arange(n, dtype=jnp.int32)
     kern = jnp.where((i < active)[:, None, None], state.segments_ir, 0.0)
-    kern = kern[::-1]                                        # [N, 2, B]
-
-    # depthwise conv: channels = (re|im) x B, batch 1, length T+N-1 -> T.
-    # NHC layout keeps channels on the lane axis with NO transposes
-    lhs = ext.reshape(1, t + n - 1, 2 * b)                      # [1, L, 2B]
-    ker_a = kern.reshape(n, 1, 2 * b)                           # [N, 1, 2B]
-    ker_b = kern[:, ::-1, :].reshape(n, 1, 2 * b)
-    dn = jax.lax.conv_dimension_numbers(lhs.shape, ker_a.shape, ("NHC", "HIO", "NHC"))
-
-    def dconv(kernel):
-        return jax.lax.conv_general_dilated(
-            lhs, kernel, window_strides=(1,), padding="VALID",
-            dimension_numbers=dn, feature_group_count=2 * b,
-            precision=jax.lax.Precision.HIGHEST,
-        )[0].reshape(t, 2, b)
-
-    rr_ii = dconv(ker_a)   # [:,0]=sum Er*IRr, [:,1]=sum Ei*IRi
-    ri_ir = dconv(ker_b)   # [:,0]=sum Er*IRi, [:,1]=sum Ei*IRr
-
-    from ..ops.cpx import _lane0_mask
-
-    m0 = jnp.asarray(_lane0_mask(b))
-    conv_re = rr_ii[:, 0] - rr_ii[:, 1] * (1.0 - m0)
-    conv_im = (ri_ir[:, 0] + ri_ir[:, 1]) * (1.0 - m0) + rr_ii[:, 1] * m0
-    convs = jnp.stack([conv_re, conv_im], axis=1)            # [T, 2, B]
+    convs = causal_conv_time(ext, kern, t)                   # [T, 2, B]
 
     # rebuild the ring: current' points at the NEXT write slot; slot at
     # offset d from it holds X[T-d] (d=0 wraps to the oldest, delay=active)
@@ -550,32 +529,9 @@ def stream_conv_farm(cfg: UniformConfig, state: UniformState,
     else:
         ext = specs
 
-    kern = state.segments_ir[:, ::-1]                        # reversed (x-corr)
-
-    # NHC layout: channels (= V x 2B) stay on the lane axis end to end —
-    # an NCH formulation needs lane-axis transposes that cost 10x the conv
-    sl = t + n - 1
-    lhs = ext.reshape(v, sl, 2 * b).swapaxes(0, 1).reshape(1, sl, v * 2 * b)
-    ker_a = kern.reshape(v, n, 2 * b).swapaxes(0, 1).reshape(n, 1, v * 2 * b)
-    ker_b = kern[:, :, ::-1].reshape(v, n, 2 * b).swapaxes(0, 1).reshape(n, 1, v * 2 * b)
-    dn = jax.lax.conv_dimension_numbers(lhs.shape, ker_a.shape, ("NHC", "HIO", "NHC"))
-
-    def dconv(kernel):
-        out = jax.lax.conv_general_dilated(
-            lhs, kernel, window_strides=(1,), padding="VALID",
-            dimension_numbers=dn, feature_group_count=v * 2 * b,
-            precision=jax.lax.Precision.HIGHEST,
-        )
-        return out.reshape(t, v, 2, b).swapaxes(0, 1)         # [V, T, 2, B]
-
-    rr_ii = dconv(ker_a)
-    ri_ir = dconv(ker_b)
-    from ..ops.cpx import _lane0_mask
-
-    m0 = jnp.asarray(_lane0_mask(b))
-    conv_re = rr_ii[:, :, 0] - rr_ii[:, :, 1] * (1.0 - m0)
-    conv_im = (ri_ir[:, :, 0] + ri_ir[:, :, 1]) * (1.0 - m0) + rr_ii[:, :, 1] * m0
-    convs = jnp.stack([conv_re, conv_im], axis=2)            # [V, T, 2, B]
+    # the MAC over the whole stream is a second DFT along the block axis
+    # (ops.fft.causal_conv_time) — all MXU matmuls, batched over voices
+    convs = causal_conv_time(ext, state.segments_ir, t)      # [V, T, 2, B]
 
     # ring rebuild (shared indices across voices)
     current_f = jnp.mod(current - t, active_n).astype(jnp.int32)

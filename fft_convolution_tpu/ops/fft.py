@@ -213,6 +213,104 @@ def _irdft_4step(p: jnp.ndarray, n: int) -> jnp.ndarray:
     return out / n
 
 
+def _cdft4_axis2(re: jnp.ndarray, im: jnp.ndarray, m: int, sign: float,
+                 ) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Complex 4-step DFT of length ``m`` (power of two) along axis -2 of
+    ``[..., m, L]`` arrays — every stage an MXU matmul over the time axis,
+    lanes untouched.  Unnormalized; ``sign=-1`` forward, ``+1`` inverse
+    (caller scales by 1/m)."""
+    n1, n2 = _split_factors(m)
+    batch = re.shape[:-2]
+    lanes = re.shape[-1]
+    a_re = re.reshape(batch + (n2, n1, lanes))
+    a_im = im.reshape(batch + (n2, n1, lanes))
+    c2, s2 = (jnp.asarray(x) for x in _dft_mats(n2, sign))
+    hp = jax.lax.Precision.HIGHEST
+
+    def mm2(mat, arr):  # contract the n2 axis: [k2,i2] x [..., i2, i1, L]
+        return jnp.einsum("ki,...ijl->...kjl", mat, arr,
+                          preferred_element_type=jnp.float32, precision=hp)
+
+    g_re = mm2(c2, a_re) - mm2(s2, a_im)
+    g_im = mm2(c2, a_im) + mm2(s2, a_re)
+    t_re, t_im = (jnp.asarray(x)[..., None] for x in _twiddles(m, sign))
+    h_re = g_re * t_re - g_im * t_im
+    h_im = g_re * t_im + g_im * t_re
+    c1m, s1m = (jnp.asarray(x) for x in _dft_mats(n1, sign))
+
+    def mm1(mat, arr):  # contract the n1 axis: [..., k2, i1, L] x [i1, k1]
+        return jnp.einsum("...kjl,jm->...kml", arr, mat,
+                          preferred_element_type=jnp.float32, precision=hp)
+
+    y_re = mm1(c1m, h_re) - mm1(s1m, h_im)
+    y_im = mm1(s1m, h_re) + mm1(c1m, h_im)
+    # X[k1*n2 + k2] = Y[k2, k1] -> swap then flatten
+    out_re = jnp.swapaxes(y_re, -3, -2).reshape(batch + (m, lanes))
+    out_im = jnp.swapaxes(y_im, -3, -2).reshape(batch + (m, lanes))
+    return out_re, out_im
+
+
+def causal_conv_time(ext: jnp.ndarray, kern: jnp.ndarray, t_out: int) -> jnp.ndarray:
+    """``out[t] = sum_i kern[i] (*) ext[N-1+t-i]`` — the frequency-delay-line
+    MAC over a whole stream, computed by a SECOND DFT along the block axis
+    (overlap-save at the meta level).  Grouped-conv HLOs lower to ~100
+    GFLOPS on this target; this formulation is all MXU matmuls.
+
+    ``ext``: [..., Lt, 2, B] packed spectra (block history ++ new blocks);
+    ``kern``: [..., N, 2, B] packed IR partition spectra.  Per audio lane,
+    the packed (re, im) pair is treated as one complex sequence along t, so
+    one complex circular convolution yields exactly the (rr - ii, ri + ir)
+    components of the packed product; lane 0 (DC & Nyquist, both real) needs
+    rr and ii separately, recovered from one extra spectral product with the
+    index-reversed conjugate kernel spectrum on that single lane.
+    """
+    lt = ext.shape[-3]
+    n = kern.shape[-3]
+    b = ext.shape[-1]
+    m = next_power_of_two(lt)
+    hp = jax.lax.Precision.HIGHEST
+    del hp
+
+    def pad_m(x):
+        pad = [(0, 0)] * (x.ndim - 2) + [(0, m - x.shape[-2]), (0, 0)]
+        return jnp.pad(x, pad)
+
+    e_re = pad_m(ext[..., 0, :])
+    e_im = pad_m(ext[..., 1, :])
+    k_re = pad_m(kern[..., 0, :])
+    k_im = pad_m(kern[..., 1, :])
+
+    ehat_re, ehat_im = _cdft4_axis2(e_re, e_im, m, -1.0)
+    khat_re, khat_im = _cdft4_axis2(k_re, k_im, m, -1.0)
+
+    # main product: IDFT gives (rr - ii) + i (ri + ir) per lane
+    z_re = ehat_re * khat_re - ehat_im * khat_im
+    z_im = ehat_re * khat_im + ehat_im * khat_re
+    out_re, out_im = _cdft4_axis2(z_re, z_im, m, 1.0)
+
+    # lane-0 correction: conv with conj(kern) gives (rr + ii) + i (ir - ri);
+    # DFT(conj(k))[f] = conj(K[-f mod M]) — no extra forward DFT needed
+    kc_re = jnp.roll(jnp.flip(khat_re[..., :1], axis=-2), 1, axis=-2)
+    kc_im = -jnp.roll(jnp.flip(khat_im[..., :1], axis=-2), 1, axis=-2)
+    e0_re, e0_im = ehat_re[..., :1], ehat_im[..., :1]
+    zc_re = e0_re * kc_re - e0_im * kc_im
+    zc_im = e0_re * kc_im + e0_im * kc_re
+    outc_re, _outc_im = _cdft4_axis2(zc_re, zc_im, m, 1.0)
+
+    sl = [slice(None)] * out_re.ndim
+    sl[-2] = slice(n - 1, n - 1 + t_out)
+    sl = tuple(sl)
+    main_re = out_re[sl] / m          # rr - ii  (lanes >= 1: final re)
+    main_im = out_im[sl] / m          # ri + ir  (lanes >= 1: final im)
+    conj_re = outc_re[sl] / m         # rr + ii  (lane 0 only)
+
+    rr0 = (main_re[..., :1] + conj_re) * 0.5
+    ii0 = (conj_re - main_re[..., :1]) * 0.5
+    re = jnp.concatenate([rr0, main_re[..., 1:]], axis=-1)
+    im = jnp.concatenate([ii0, main_im[..., 1:]], axis=-1)
+    return jnp.stack([re, im], axis=-2)  # [..., T, 2, B]
+
+
 def rdft_block(x: jnp.ndarray, fft_size: int) -> jnp.ndarray:
     """Forward packed real DFT of a block zero-padded to ``fft_size``.
 
