@@ -483,6 +483,24 @@ def stream_scan_unguarded(cfg: UniformConfig, state: UniformState,
     return new_state._replace(overlap=outs[-1, b:]), y
 
 
+def stream_scan_sliced_unguarded(cfg: UniformConfig, state: UniformState,
+                                 blocks: jnp.ndarray) -> Tuple[UniformState, jnp.ndarray]:
+    """Hoisted-DFT ring-scan stream on the sliced (doubled-IR) core — no
+    gathers, no conds; vmap-safe with lockstep ring heads.  Preconditions:
+    full clean ring.  Costs 2x IR memory transiently (the doubled table);
+    preferred for farm tails where vmapped gathers are pathological."""
+    b = cfg.block_size
+    specs = rdft_block(blocks, cfg.fft_size)
+    (segments, current, pre), convs = _ring_scan_sliced(cfg, state, specs)
+    new_state = state._replace(
+        segments=segments, current=current, pre_multiplied=pre
+    )
+    outs = irdft_block(convs, cfg.fft_size)
+    tails = jnp.concatenate([state.overlap[None], outs[:-1, b:]], axis=0)
+    y = outs[:, :b] + tails
+    return new_state._replace(overlap=outs[-1, b:]), y
+
+
 def stream_conv_unguarded(cfg: UniformConfig, state: UniformState,
                           blocks: jnp.ndarray) -> Tuple[UniformState, jnp.ndarray]:
     """The conv-HLO stream without the safety conds — preconditions

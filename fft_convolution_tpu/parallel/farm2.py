@@ -103,7 +103,7 @@ def farm2_stream(cfg: two_stage.TwoStageConfig, state: two_stage.TwoStageState,
     per_voice = functools.partial(
         two_stage.process_stream_aligned, cfg,
         small_stream=uniform.stream_conv_unguarded,
-        big_stream=uniform.stream_scan_unguarded,
+        big_stream=uniform.stream_scan_sliced_unguarded,
     )
     st2, ys = farm.lockstep_vmap_stream(per_voice, state, vx)
     return st2, jnp.swapaxes(ys, 0, 1)
