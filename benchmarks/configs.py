@@ -183,8 +183,9 @@ def config5_reverb_farm(voices: int = 1024, ir_seconds: int = 60):
     block = 128
     hbm = 15e9 if jax.devices()[0].platform == "tpu" else 2e9
     # state ~16L/voice, doubled by the chained-timing scan carry, plus the
-    # sliced-tail doubled-IR transient (+8L) and stream working set -> 62L
-    per_voice = 62 * ir_seconds * SR
+    # sliced-tail doubled-IR transient, the time-DFT intermediates of the
+    # head stages, and XLA temporaries -> 100L measured-safe budget
+    per_voice = 100 * ir_seconds * SR
     voices = int(min(voices, max(1, hbm // per_voice)))
 
     rng = np.random.default_rng(4)
