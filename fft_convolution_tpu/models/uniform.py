@@ -356,11 +356,10 @@ def _stream_conv(cfg: UniformConfig, state: UniformState,
                  specs: jnp.ndarray,
                  assume_full_ring: bool = False) -> Tuple[UniformState, jnp.ndarray]:
     """Fully parallel stream core: the FDL recurrence
-    ``conv[t] = sum_i IR[i] (*) X[t-i]`` is a *depthwise causal convolution*
-    along the block axis, so the whole stream becomes two grouped-conv HLOs
-    on the extended spectrum sequence (ring history ++ new spectra) — zero
-    sequential steps.  The four real cross-products of the packed complex
-    multiply ride as channel groups of the two calls (see ``ops/cpx.pmul``).
+    ``conv[t] = sum_i IR[i] (*) X[t-i]`` is a causal convolution along the
+    block axis, computed with a second DFT along that axis
+    (``ops.fft.causal_conv_time``) over the extended spectrum sequence
+    (ring history ++ new spectra) — zero sequential steps, all MXU matmuls.
 
     Precondition: ``current < active_segs`` (a clean ring).  The caller
     guards with :func:`_stream_ring_scan` otherwise.
@@ -581,9 +580,10 @@ def process_stream(cfg: UniformConfig, state: UniformState,
     Here nothing sequential remains at all:
 
     * forward DFTs of ALL T input blocks: one ``[T, 2B] @ basis`` matmul;
-    * the spectral MAC over the frequency-delay line: two depthwise causal
-      conv HLOs along the block axis (:func:`_stream_conv`), with an in-jit
-      fallback to the exact ring scan for the shrunk-ring transient;
+    * the spectral MAC over the frequency-delay line: a second DFT along
+      the block axis (``ops.fft.causal_conv_time`` inside
+      :func:`_stream_conv`), with an in-jit fallback to the exact ring scan
+      for the shrunk-ring transient;
     * inverse DFTs of all T conv spectra: one matmul;
     * overlap-add: a vectorized shift (``y[t] = out[t,:B] + out[t-1,B:]``
       with the carried ``overlap`` seeding t=0).
@@ -600,10 +600,10 @@ def process_stream(cfg: UniformConfig, state: UniformState,
 
     def active() -> Tuple[UniformState, jnp.ndarray]:
         specs = rdft_block(blocks, cfg.fft_size)  # [T, 2, B] — one matmul
-        # static cost choice: the depthwise-conv core wins for small blocks
-        # and long streams; for huge blocks (two-stage tails: 2B = 16k+
-        # channels) or very short streams the hoisted-DFT ring scan is
-        # cheaper than the grouped-conv lowering
+        # static cost choice: the time-DFT core amortizes its block-axis
+        # transforms over long streams of small blocks; for huge blocks
+        # (two-stage tails) or very short streams the hoisted-DFT ring scan
+        # is cheaper
         use_conv = cfg.block_size <= 2048 and t >= 8
         if use_conv:
             new_state, convs = jax.lax.cond(

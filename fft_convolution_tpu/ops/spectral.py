@@ -6,16 +6,16 @@ reference walks the ring partition-by-partition on the CPU; here the entire
 reduction is one masked gather + packed product + sum that XLA fuses into a
 single pass over the ``[seg_count, 2, B]`` spectra.
 
-A Pallas kernel variant (``pallas_mac.py``) serves large delay lines where
-explicit VMEM residency matters; this jnp version is the semantic reference
-and the small-N path.
+The Pallas fused block-step kernel (``pallas_engine.py``) serves the
+single-block latency path with explicit VMEM residency; this jnp version is
+the semantic reference used by the sequential engine cores.
 """
 
 from __future__ import annotations
 
 import jax.numpy as jnp
 
-from .cpx import pmul, pmul_sum
+from .cpx import pmul_sum
 
 
 def fdl_mac(
@@ -39,15 +39,3 @@ def fdl_mac(
     mask = (idx >= 1) & (idx < active)
     return pmul_sum(segments_ir, gathered, mask)
 
-
-def fdl_mac_full(
-    segments: jnp.ndarray,
-    segments_ir: jnp.ndarray,
-    current: jnp.ndarray,
-    active: jnp.ndarray,
-) -> jnp.ndarray:
-    """Full spectral MAC including partition 0 (``conv`` in the reference:
-    ``pre_multiplied + segments[current] * segments_ir[0]``,
-    ``src/fft_convolver.rs:256-261``)."""
-    pre = fdl_mac(segments, segments_ir, current, active)
-    return pre + pmul(jnp.take(segments, current, axis=0), segments_ir[0])
