@@ -111,3 +111,27 @@ def test_streaming_convolver_matches_engine():
         pos += size
     assert pos == 2048
     np.testing.assert_allclose(np.concatenate(pieces), y_ref, atol=1e-5)
+
+
+def test_realtime_dispatcher_pipeline():
+    """Producer -> lock-free ring -> dispatcher thread -> ring -> consumer
+    must reproduce direct processing exactly (whole blocks only)."""
+    from fft_convolution_tpu.runtime.dispatcher import RealTimeDispatcher
+
+    rng = np.random.default_rng(70)
+    ir = rng.standard_normal(500).astype(np.float32) * 0.1
+    x = rng.standard_normal(128 * 16).astype(np.float32)
+
+    direct = FFTConvolver(ir, 128, len(ir))
+    y_ref = direct.process(x)
+
+    engine = FFTConvolver(ir, 128, len(ir))
+    with RealTimeDispatcher(engine, capacity_blocks=32) as d:
+        pos = 0
+        while pos < len(x):
+            pos += d.push(x[pos : pos + 441])
+        d.drain()
+        got = d.pull(len(x))
+    assert d.blocks_processed == 16
+    assert d.underruns == 0
+    np.testing.assert_allclose(got, y_ref, atol=1e-5)
