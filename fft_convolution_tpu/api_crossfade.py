@@ -189,3 +189,15 @@ class CrossfadeConvolver:
         self.cf_state = cf
         self.stored_response = stored.copy()
         self.response_pending = pending
+
+    def clone(self) -> "CrossfadeConvolver":
+        """Value-copy of the whole wrapper (the reference derives ``Clone``,
+        ``src/crossfade_convolver.rs:10``)."""
+        other = object.__new__(CrossfadeConvolver)
+        other.convolver_a = self.convolver_a.clone()
+        other.convolver_b = self.convolver_b.clone()
+        other.cf_cfg = self.cf_cfg
+        other.cf_state = self.cf_state
+        other.stored_response = self.stored_response.copy()
+        other.response_pending = self.response_pending
+        return other

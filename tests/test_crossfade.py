@@ -214,3 +214,23 @@ def test_two_stage_inner_engine():
     np.testing.assert_allclose(y, 1.0, atol=1e-6)
     with pytest.raises(NotImplementedError):
         cc.update(response)
+
+
+def test_clone_independent():
+    """clone() is a value copy (reference derives Clone): diverging one copy
+    must not affect the other."""
+    rng = np.random.default_rng(51)
+    ir = rng.standard_normal(256).astype(np.float32) * 0.1
+    cc = CrossfadeConvolver(FFTConvolver(ir, 64, 256), 256, 64, 128)
+    x = rng.standard_normal(64 * 4).astype(np.float32)
+    cc.process(x[:128])
+    twin = cc.clone()
+    y1 = cc.process(x[128:])
+    twin.update(rng.standard_normal(100).astype(np.float32) * 0.1)
+    y_twin_later = twin.process(x[128:])
+    # original's continuation is unaffected by the twin's update
+    cc2 = CrossfadeConvolver(FFTConvolver(ir, 64, 256), 256, 64, 128)
+    cc2.process(x[:128])
+    y_ref = cc2.process(x[128:])
+    np.testing.assert_allclose(y1, y_ref, atol=1e-6)
+    assert np.abs(y_twin_later - y1).max() > 0  # the twin did diverge
