@@ -146,38 +146,43 @@ def main() -> None:
         f"(raw totals {tl1*1e3:.1f}/{tl2*1e3:.1f} ms over {n1}/{n2} blocks)")
 
     # alternative serving path: the Pallas fused uniform engine handles the
-    # same 10 s IR in one kernel dispatch per block
-    from fft_convolution_tpu.models import uniform
-    from fft_convolution_tpu.ops import pallas_engine
+    # same 10 s IR in one kernel dispatch per block (guarded: if the kernel
+    # path is unavailable, the two-stage figure stands alone)
+    p50_pallas = float("inf")
+    try:
+        from fft_convolution_tpu.models import uniform
+        from fft_convolution_tpu.ops import pallas_engine
 
-    ucfg, ustate = uniform.init(ir, block, len(ir))
-    consts, pstate = pallas_engine.from_uniform(ucfg, ustate)
+        ucfg, ustate = uniform.init(ir, block, len(ir))
+        consts, pstate = pallas_engine.from_uniform(ucfg, ustate)
 
-    def build_pallas(n):
-        @jax.jit
-        def run(ps, xs):
-            def body(s, xb):
-                s2, y = pallas_engine.block_step(ucfg, consts, s, xb)
-                return s2, jnp.sum(y)
-            sf, sums = jax.lax.scan(body, ps, xs)
-            return sf, jnp.sum(sums)
-        return run
+        def build_pallas(n):
+            @jax.jit
+            def run(ps, xs):
+                def body(s, xb):
+                    s2, y = pallas_engine.block_step(ucfg, consts, s, xb)
+                    return s2, jnp.sum(y)
+                sf, sums = jax.lax.scan(body, ps, xs)
+                return sf, jnp.sum(sums)
+            return run
 
-    def timed_pallas(run, n):
-        s3, v = run(pstate, x[:n])
-        _ = float(v)
-        best = float("inf")
-        for _i in range(3):
-            t0 = time.perf_counter()
+        def timed_pallas(run, n):
             s3, v = run(pstate, x[:n])
             _ = float(v)
-            best = min(best, time.perf_counter() - t0)
-        return best
+            best = float("inf")
+            for _i in range(3):
+                t0 = time.perf_counter()
+                s3, v = run(pstate, x[:n])
+                _ = float(v)
+                best = min(best, time.perf_counter() - t0)
+            return best
 
-    tp1 = timed_pallas(build_pallas(n1), n1)
-    tp2 = timed_pallas(build_pallas(n2), n2)
-    p50_pallas = max((tp2 - tp1) / (n2 - n1), 1e-9) * 1e3
-    log(f"pallas fused-kernel per-block latency: {p50_pallas:.4f} ms")
+        tp1 = timed_pallas(build_pallas(n1), n1)
+        tp2 = timed_pallas(build_pallas(n2), n2)
+        p50_pallas = max((tp2 - tp1) / (n2 - n1), 1e-9) * 1e3
+        log(f"pallas fused-kernel per-block latency: {p50_pallas:.4f} ms")
+    except Exception as e:  # noqa: BLE001 - best-effort alternative path
+        log(f"pallas serving path unavailable: {e}")
 
     p50_ms = min(p50_two_stage, p50_pallas)
     log(f"per-block device latency (best serving path): {p50_ms:.4f} ms "
