@@ -90,13 +90,22 @@ class RealTimeDispatcher:
             self._thread = None
 
     def drain(self, timeout: float = 10.0) -> None:
-        """Block until all pushed input has been processed."""
+        """Block until all pushed whole blocks have been processed AND their
+        output published (a block can be mid-``engine.process`` when the
+        input ring looks empty — wait for the processed count to settle)."""
         deadline = time.monotonic() + timeout
         b = self.block_size
+        last = -1
         while time.monotonic() < deadline:
-            if self.in_ring.readable() < b and self.assembler.fill == 0:
+            settled = (
+                self.in_ring.readable() < b
+                and self.assembler.fill < b
+                and self.blocks_processed == last
+            )
+            if settled:
                 return
-            time.sleep(0.001)
+            last = self.blocks_processed
+            time.sleep(0.002)
         raise TimeoutError("dispatcher did not drain in time")
 
     def __enter__(self):
