@@ -23,6 +23,7 @@ __all__ = [
     "TwoStageFFTConvolver",
     "CrossfadeConvolver",
     "PallasFFTConvolver",
+    "PallasTwoStageConvolver",
 ]
 
 
@@ -37,4 +38,7 @@ def __getattr__(name):
     if name == "PallasFFTConvolver":
         from .serving import PallasFFTConvolver
         return PallasFFTConvolver
+    if name == "PallasTwoStageConvolver":
+        from .serving import PallasTwoStageConvolver
+        return PallasTwoStageConvolver
     raise AttributeError(name)

@@ -49,6 +49,164 @@ def _jit_rebuild_ir(cfg: uniform.UniformConfig):
     return jax.jit(rebuild)
 
 
+class PallasTwoStageConvolver:
+    """Fused-kernel two-stage convolver for single-block real-time serving.
+
+    Head and tail0 share one input-spectra ring inside one Pallas kernel
+    per block (``ops/pallas_two_stage.py``); the big-tail convolution runs
+    as the jnp uniform engine on the block that completes a period, inside
+    the same jitted step (``lax.cond``), mirroring the reference schedule
+    (``src/fft_convolver.rs:427-494``).
+
+    Requires the IR to reach past one tail block (``max_response_length >
+    tail_block``) — otherwise use :class:`PallasFFTConvolver` — and a
+    power-of-two ``block_size``.
+    """
+
+    def __init__(self, response, block_size: int, max_response_length: int,
+                 interpret: bool | None = None):
+        from .models import two_stage
+        from .ops import pallas_two_stage
+
+        cfg, state = two_stage.init(response, block_size, max_response_length)
+        if cfg.tail0 is None:
+            raise ValueError(
+                "IR shorter than one tail block: use PallasFFTConvolver"
+            )
+        if interpret is None:
+            interpret = jax.devices()[0].platform != "tpu"
+        self._interpret = interpret
+        self.cfg = cfg
+        b = cfg.head_block
+        p = cfg.period
+        n = cfg.head.seg_count
+        assert n == p, "head ring must span exactly one tail period"
+
+        # tail0's IR spectra padded to the shared ring's row count (its
+        # trailing rows are zero => contribute nothing, like active < N)
+        t0_spec = state.tail0.segments_ir
+        if t0_spec.shape[0] < n:
+            t0_spec = jnp.concatenate([
+                t0_spec,
+                jnp.zeros((n - t0_spec.shape[0], 2, b), jnp.float32),
+            ])
+        self.consts = pallas_two_stage.build_consts(
+            state.head.segments_ir, t0_spec[:n], b
+        )
+        self.fstate = pallas_two_stage.FusedHeadState(
+            seg_re=jnp.zeros((n, b), jnp.float32),
+            seg_im=jnp.zeros((n, b), jnp.float32),
+            head_overlap=jnp.zeros((1, b), jnp.float32),
+            t0_overlap=jnp.zeros((1, b), jnp.float32),
+            current=jnp.zeros((1,), jnp.int32),
+        )
+        self.tail_state = state.tail          # uniform engine at TB (may be empty)
+        self._has_tail = cfg.tail is not None
+        self.buffers = {
+            "tail_output0": jnp.zeros((p, b), jnp.float32),
+            "precalc0": jnp.zeros((p, b), jnp.float32),
+            "tail_output": jnp.zeros((p, b), jnp.float32),
+            "precalc": jnp.zeros((p, b), jnp.float32),
+            "tail_input": jnp.zeros((p, b), jnp.float32),
+        }
+        self.row = 0  # host shadow of the intra-period position
+
+    def _step_fn(self):
+        from .models import uniform
+        from .ops import pallas_two_stage
+
+        cfg = self.cfg
+        n = cfg.head.seg_count
+        b = cfg.head_block
+        p = cfg.period
+        interpret = self._interpret
+        consts = self.consts
+        has_tail = self._has_tail
+
+        @jax.jit
+        def step(fstate, tail_state, bufs, row, x):
+            fstate, y, out0 = pallas_two_stage.block_step(
+                n, b, consts, fstate, x, row,
+                bufs["precalc0"], bufs["precalc"], interpret=interpret,
+            )
+            tail_output0 = jax.lax.dynamic_update_slice(
+                bufs["tail_output0"], out0[None], (row, 0)
+            )
+            tail_input = jax.lax.dynamic_update_slice(
+                bufs["tail_input"], x[None], (row, 0)
+            )
+            period_end = row == p - 1
+
+            precalc0, tail_output0 = jax.lax.cond(
+                period_end, lambda a, o: (o, a), lambda a, o: (a, o),
+                bufs["precalc0"], tail_output0,
+            )
+            if has_tail:
+                def run_tail(op):
+                    t_state, t_out, _t_pre, t_in = op
+                    t_state2, big = uniform.process_block(
+                        cfg.tail, t_state, t_in.reshape(-1)
+                    )
+                    return t_state2, big.reshape(p, b), t_out
+
+                tail_state2, tail_output, precalc = jax.lax.cond(
+                    period_end, run_tail,
+                    lambda op: (op[0], op[1], op[2]),
+                    (tail_state, bufs["tail_output"], bufs["precalc"], tail_input),
+                )
+            else:
+                tail_state2 = tail_state
+                tail_output, precalc = bufs["tail_output"], bufs["precalc"]
+
+            new_bufs = {
+                "tail_output0": tail_output0,
+                "precalc0": precalc0,
+                "tail_output": tail_output,
+                "precalc": precalc,
+                "tail_input": tail_input,
+            }
+            return fstate, tail_state2, new_bufs, y
+
+        return step
+
+    def process(self, input) -> np.ndarray:
+        x = np.asarray(input, np.float32)
+        if x.shape[0] != self.cfg.head_block:
+            raise ValueError(
+                f"PallasTwoStageConvolver.process takes exactly one "
+                f"{self.cfg.head_block}-sample block"
+            )
+        if not hasattr(self, "_step"):
+            self._step = self._step_fn()
+        self.fstate, self.tail_state, self.buffers, y = self._step(
+            self.fstate, self.tail_state, self.buffers,
+            jnp.asarray(self.row, jnp.int32), jnp.asarray(x),
+        )
+        self.row = (self.row + 1) % self.cfg.period
+        return np.asarray(y)
+
+    def update(self, response) -> None:
+        raise NotImplementedError(
+            "update is unimplemented upstream (src/fft_convolver.rs:408-410)"
+        )
+
+    def reset(self) -> None:
+        self.fstate = jax.tree.map(jnp.zeros_like, self.fstate)
+        from .models import uniform as _u
+
+        self.tail_state = _u.reset(self.tail_state)
+        self.buffers = {k: jnp.zeros_like(v) for k, v in self.buffers.items()}
+        self.row = 0
+
+    def snapshot(self):
+        return (self.fstate, self.tail_state,
+                dict(self.buffers), self.row)
+
+    def restore(self, snap) -> None:
+        self.fstate, self.tail_state, bufs, self.row = snap
+        self.buffers = dict(bufs)
+
+
 class PallasFFTConvolver:
     """Fused-kernel uniform convolver for single-block real-time serving."""
 

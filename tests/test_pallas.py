@@ -105,3 +105,40 @@ def test_pallas_serving_convolver():
     p.restore(snap)
     y2 = p.process(x[:b])
     np.testing.assert_array_equal(y1, y2)
+
+
+def test_pallas_two_stage_serving():
+    """Fused head+tail0 serving engine vs the reference-faithful
+    TwoStageFFTConvolver, block by block across several tail periods."""
+    from fft_convolution_tpu import TwoStageFFTConvolver
+    from fft_convolution_tpu.serving import PallasTwoStageConvolver
+
+    rng = np.random.default_rng(33)
+    b = 64
+    ir = rng.standard_normal(9000).astype(np.float32) * 0.05
+    x = rng.standard_normal(b * 80).astype(np.float32)
+
+    ref = TwoStageFFTConvolver(ir, b, len(ir))
+    fused = PallasTwoStageConvolver(ir, b, len(ir))
+    assert fused.cfg.tail is not None
+    for t in range(80):
+        blk = x[t * b:(t + 1) * b]
+        y_ref = ref.process(blk)
+        y = fused.process(blk)
+        np.testing.assert_allclose(y, y_ref, atol=2e-5, err_msg=f"block {t}")
+
+    # reset repeatability
+    fused.reset()
+    ys1 = [fused.process(x[t * b:(t + 1) * b]) for t in range(10)]
+    fused.reset()
+    ys2 = [fused.process(x[t * b:(t + 1) * b]) for t in range(10)]
+    np.testing.assert_array_equal(np.concatenate(ys1), np.concatenate(ys2))
+
+
+def test_pallas_two_stage_short_ir_rejected():
+    import pytest
+
+    from fft_convolution_tpu.serving import PallasTwoStageConvolver
+
+    with pytest.raises(ValueError):
+        PallasTwoStageConvolver(np.ones(64, np.float32), 64, 64)
