@@ -346,3 +346,30 @@ def generate_sinusoid(num_samples: int, freq: float, sample_rate: float, gain: f
     ``src/tests.rs:9-16`` (computed in float64, cast to float32)."""
     i = np.arange(num_samples, dtype=np.float64)
     return (gain * np.sin(2.0 * np.pi * freq * i / sample_rate)).astype(np.float32)
+
+
+class Fft:
+    """Plan-style convenience wrapper over the packed real DFT — the public
+    surface of the reference's ``Fft`` struct (``src/fft_convolver.rs:29-50``:
+    ``init``/``forward``/``inverse`` with 1/len-normalized inverse).
+
+    Under XLA there are no plans to own; this class just pins a transform
+    length and dispatches to :func:`rdft_block`/:func:`irdft_block`.
+    """
+
+    def __init__(self, length: int = 0):
+        self.length = 0
+        self.init(length)
+
+    def init(self, length: int) -> None:
+        if length and (length & (length - 1) or length < 2):
+            raise ValueError("transform length must be a power of two >= 2")
+        self.length = length
+
+    def forward(self, x) -> jnp.ndarray:
+        """Unnormalized forward transform -> packed [..., 2, length//2]."""
+        return rdft_block(jnp.asarray(x, jnp.float32), self.length)
+
+    def inverse(self, packed) -> jnp.ndarray:
+        """Inverse transform with 1/len normalization -> [..., length]."""
+        return irdft_block(jnp.asarray(packed, jnp.float32), self.length)

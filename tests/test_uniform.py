@@ -168,3 +168,25 @@ def test_snapshot_restore():
     c.restore(snap)
     y2 = c.process(x[320:])
     np.testing.assert_array_equal(y1, y2)
+
+
+def test_fft_plan_wrapper_surface():
+    """L0 public surface parity: Fft init/forward/inverse roundtrip
+    (``src/fft_convolver.rs:29-50``) and the helpers."""
+    from fft_convolution_tpu.ops import Fft, complex_size, copy_and_pad
+
+    assert complex_size(256) == 129
+    fft = Fft(256)
+    rng = np.random.default_rng(80)
+    x = rng.standard_normal(256).astype(np.float32)
+    spec = fft.forward(x)
+    assert spec.shape == (2, 128)
+    back = np.asarray(fft.inverse(spec))
+    np.testing.assert_allclose(back, x, atol=1e-5)
+
+    padded = np.asarray(copy_and_pad(x[:100], 256))
+    np.testing.assert_array_equal(padded[:100], x[:100])
+    np.testing.assert_array_equal(padded[100:], 0)
+
+    with pytest.raises(ValueError):
+        Fft(100)
