@@ -83,6 +83,13 @@ class CrossfaderConfig:
     hold_samples: int     # ``:196``
     mixer: str = "raised_cosine"
 
+    def __post_init__(self):
+        # The reference accepts fading_samples == 0 because Rust f32 1.0/0 is
+        # inf; here it would be a ZeroDivisionError in new_state.  Clamp to 1:
+        # a zero-length fade becomes an instant (1-sample) switch.
+        if self.fading_samples < 1:
+            object.__setattr__(self, "fading_samples", 1)
+
 
 class CrossfaderState(NamedTuple):
     """``Crossfader`` runtime fields (``src/crossfade_convolver.rs:192-201``)."""

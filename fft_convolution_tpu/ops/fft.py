@@ -362,8 +362,20 @@ class Fft:
         self.init(length)
 
     def init(self, length: int) -> None:
-        if length and (length & (length - 1) or length < 2):
-            raise ValueError("transform length must be a power of two >= 2")
+        """Pin a transform length.  Any even length <= ``_DIRECT_MAX`` plans
+        through the direct basis (the basis construction is generic); larger
+        lengths must be powers of two for the 4-step split.  Odd lengths are
+        a documented divergence from realfft (PARITY.md): the packed
+        halfcomplex layout needs a Nyquist bin, and the convolution engines
+        only ever transform at ``2 * block_size``."""
+        if length:
+            if length < 2 or length % 2:
+                raise ValueError("transform length must be even and >= 2")
+            if length > _DIRECT_MAX and (length & (length - 1)):
+                raise ValueError(
+                    f"transform lengths > {_DIRECT_MAX} must be powers of two"
+                    " (Bailey 4-step path)"
+                )
         self.length = length
 
     def forward(self, x) -> jnp.ndarray:

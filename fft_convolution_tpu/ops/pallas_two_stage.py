@@ -33,7 +33,18 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .fft import _irdft_basis, _rdft_basis
-from .pallas_engine import _dot
+from .pallas_engine import _VMEM_BUDGET, _dot
+
+
+def fits_vmem(n: int, b: int, period: int) -> bool:
+    """VMEM estimate for the fused head+tail0 kernel's working set:
+    shared ring (2 planes), two doubled IR tables (4 planes of [2N, B]),
+    3 basis halves of [B, 2B], and the two precalc period buffers."""
+    working = 2 * n * b * 4            # shared seg ring (re + im)
+    working += 4 * 2 * n * b * 4       # head + tail0 doubled IR tables
+    working += 3 * b * (2 * b) * 4     # fwd_half, inv_re, inv_im bases
+    working += 2 * period * b * 4      # precalc0 + precalc inputs
+    return working < _VMEM_BUDGET
 
 
 class FusedHeadState(NamedTuple):

@@ -4,8 +4,8 @@ The device runs the spectral math; this package owns the host side of the
 real-time path — the C++ SPSC ring buffer, block assembler, and WAV codec in
 ``native/host_runtime.cpp``.  The library is built on first use with the
 local toolchain (``make``/``g++``); if no toolchain is available the pure-
-Python fallbacks in :mod:`fft_convolution_tpu.runtime.fallback` are used so
-the package never hard-fails.
+Python fallbacks built into :mod:`fft_convolution_tpu.runtime.chunker` are
+used so the package never hard-fails.
 """
 
 from __future__ import annotations

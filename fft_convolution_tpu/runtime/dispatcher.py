@@ -37,6 +37,7 @@ class RealTimeDispatcher:
         self.in_ring = RingBuffer(cap)
         self.out_ring = RingBuffer(cap)
         self.assembler = BlockAssembler(self.block_size)
+        self.samples_pushed = 0
         self.blocks_processed = 0
         self.underruns = 0
         self._running = False
@@ -46,7 +47,9 @@ class RealTimeDispatcher:
 
     def push(self, samples) -> int:
         """Offer input samples; returns how many were accepted."""
-        return self.in_ring.write(np.ascontiguousarray(samples, np.float32))
+        accepted = self.in_ring.write(np.ascontiguousarray(samples, np.float32))
+        self.samples_pushed += accepted
+        return accepted
 
     # -- consumer side -------------------------------------------------------
 
@@ -90,21 +93,20 @@ class RealTimeDispatcher:
             self._thread = None
 
     def drain(self, timeout: float = 10.0) -> None:
-        """Block until all pushed whole blocks have been processed AND their
-        output published (a block can be mid-``engine.process`` when the
-        input ring looks empty — wait for the processed count to settle)."""
+        """Block until every whole block's worth of pushed samples has been
+        processed AND its output published.
+
+        ``blocks_processed`` is incremented only after the engine output is
+        fully written to the output ring, so the condition
+        ``blocks_processed >= samples_pushed // block_size`` is exact — no
+        "counter settled across one poll" heuristic (which raced with an
+        engine step slower than the poll interval: input ring drained,
+        counter static, block mid-``engine.process``)."""
         deadline = time.monotonic() + timeout
-        b = self.block_size
-        last = -1
+        expected = self.samples_pushed // self.block_size
         while time.monotonic() < deadline:
-            settled = (
-                self.in_ring.readable() < b
-                and self.assembler.fill < b
-                and self.blocks_processed == last
-            )
-            if settled:
+            if self.blocks_processed >= expected:
                 return
-            last = self.blocks_processed
             time.sleep(0.002)
         raise TimeoutError("dispatcher did not drain in time")
 

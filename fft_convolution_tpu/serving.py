@@ -73,6 +73,13 @@ class PallasTwoStageConvolver:
             raise ValueError(
                 "IR shorter than one tail block: use PallasFFTConvolver"
             )
+        if not pallas_two_stage.fits_vmem(
+            cfg.head.seg_count, cfg.head_block, cfg.period
+        ):
+            raise ValueError(
+                "fused head+tail0 working set exceeds the VMEM budget; use "
+                "TwoStageFFTConvolver for head rings this large"
+            )
         if interpret is None:
             interpret = jax.devices()[0].platform != "tpu"
         self._interpret = interpret
@@ -205,6 +212,21 @@ class PallasTwoStageConvolver:
     def restore(self, snap) -> None:
         self.fstate, self.tail_state, bufs, self.row = snap
         self.buffers = dict(bufs)
+
+    def clone(self) -> "PallasTwoStageConvolver":
+        """Value-semantics copy (the `Convolution: Clone` parity surface,
+        ``src/lib.rs:5``) — state arrays are immutable, so shallow refs are
+        safe; the mutable dict and host counter are copied."""
+        other = object.__new__(PallasTwoStageConvolver)
+        other.cfg = self.cfg
+        other.consts = self.consts
+        other.fstate = self.fstate
+        other.tail_state = self.tail_state
+        other._has_tail = self._has_tail
+        other._interpret = self._interpret
+        other.buffers = dict(self.buffers)
+        other.row = self.row
+        return other
 
 
 class PallasFFTConvolver:

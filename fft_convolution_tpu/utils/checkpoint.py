@@ -8,19 +8,14 @@ checkpoint is a flat dict of arrays; this module persists wrapper snapshots
 
 from __future__ import annotations
 
-import json
-
 import jax
 import numpy as np
 
 
 def save(path: str, snapshot) -> None:
     """Persist an engine ``snapshot()`` (any pytree of arrays + ints)."""
-    leaves, treedef = jax.tree.flatten(snapshot)
+    leaves, _treedef = jax.tree.flatten(snapshot)
     arrays = {f"leaf_{i}": np.asarray(leaf) for i, leaf in enumerate(leaves)}
-    arrays["__treedef__"] = np.frombuffer(
-        json.dumps(str(treedef)).encode(), dtype=np.uint8
-    )
     np.savez(path, **arrays)
 
 

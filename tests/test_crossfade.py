@@ -234,3 +234,12 @@ def test_clone_independent():
     y_ref = cc2.process(x[128:])
     np.testing.assert_allclose(y1, y_ref, atol=1e-6)
     assert np.abs(y_twin_later - y1).max() > 0  # the twin did diverge
+
+
+def test_zero_fade_length_clamps_to_instant_switch():
+    """fading_samples == 0 (e.g. a zero-length response) must not divide by
+    zero; it clamps to a 1-sample (instant) fade."""
+    cfg = crossfade.CrossfaderConfig(fading_samples=0, hold_samples=0)
+    assert cfg.fading_samples == 1
+    st = crossfade.new_state(cfg)
+    assert np.isfinite(float(st.step))

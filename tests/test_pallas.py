@@ -142,3 +142,46 @@ def test_pallas_two_stage_short_ir_rejected():
 
     with pytest.raises(ValueError):
         PallasTwoStageConvolver(np.ones(64, np.float32), 64, 64)
+
+
+def test_pallas_two_stage_clone_independent():
+    """clone() is a value copy: advancing the twin must not perturb the
+    original's stream (the Convolution: Clone parity surface)."""
+    from fft_convolution_tpu.serving import PallasTwoStageConvolver
+
+    rng = np.random.default_rng(34)
+    b = 64
+    ir = rng.standard_normal(9000).astype(np.float32) * 0.05
+    x = rng.standard_normal(b * 20).astype(np.float32)
+
+    a = PallasTwoStageConvolver(ir, b, len(ir))
+    for t in range(5):
+        a.process(x[t * b:(t + 1) * b])
+    twin = a.clone()
+    # drive the twin ahead with different input
+    for t in range(5):
+        twin.process(x[(10 + t) * b:(11 + t) * b])
+    # the original continues exactly like an unperturbed run
+    ref = PallasTwoStageConvolver(ir, b, len(ir))
+    for t in range(5):
+        ref.process(x[t * b:(t + 1) * b])
+    for t in range(5, 10):
+        blk = x[t * b:(t + 1) * b]
+        np.testing.assert_array_equal(a.process(blk), ref.process(blk))
+
+
+def test_pallas_two_stage_vmem_guard():
+    """An oversized fused working set raises the descriptive ValueError
+    instead of an opaque Mosaic alloc failure."""
+    import pytest
+
+    from fft_convolution_tpu.ops.pallas_two_stage import fits_vmem
+    from fft_convolution_tpu.serving import PallasTwoStageConvolver
+
+    assert fits_vmem(64, 64, 64)
+    assert not fits_vmem(4096, 1024, 4096)
+    # head ring of 2048 x 1024 floats x many tables blows the 12 MB budget
+    with pytest.raises(ValueError, match="VMEM"):
+        PallasTwoStageConvolver(
+            np.ones(2_100_000, np.float32) * 1e-4, 1024, 2_100_000
+        )

@@ -135,3 +135,41 @@ def test_realtime_dispatcher_pipeline():
     assert d.blocks_processed == 16
     assert d.underruns == 0
     np.testing.assert_allclose(got, y_ref, atol=1e-5)
+
+
+def test_dispatcher_drain_waits_for_slow_engine():
+    """drain() must wait for a block that is mid-engine.process even when the
+    input ring already looks empty.  A 30 ms/block engine (the TPU relay's
+    ~25 ms dispatch cost is the production shape) made the old
+    counter-settled-across-one-poll heuristic return early and pull() replace
+    the final block with zeros."""
+    import time
+
+    from fft_convolution_tpu.runtime.dispatcher import RealTimeDispatcher
+
+    rng = np.random.default_rng(71)
+    ir = rng.standard_normal(500).astype(np.float32) * 0.1
+    x = rng.standard_normal(128 * 4).astype(np.float32)
+
+    direct = FFTConvolver(ir, 128, len(ir))
+    y_ref = direct.process(x)
+
+    class SlowEngine:
+        def __init__(self, inner):
+            self.inner = inner
+            self.cfg = inner.cfg
+
+        def process(self, block):
+            time.sleep(0.03)
+            return self.inner.process(block)
+
+    engine = SlowEngine(FFTConvolver(ir, 128, len(ir)))
+    with RealTimeDispatcher(engine, capacity_blocks=32) as d:
+        pos = 0
+        while pos < len(x):
+            pos += d.push(x[pos : pos + 441])
+        d.drain()
+        assert d.blocks_processed == 4
+        got = d.pull(len(x))
+    assert d.underruns == 0
+    np.testing.assert_allclose(got, y_ref, atol=1e-5)

@@ -188,5 +188,19 @@ def test_fft_plan_wrapper_surface():
     np.testing.assert_array_equal(padded[:100], x[:100])
     np.testing.assert_array_equal(padded[100:], 0)
 
+    # arbitrary EVEN lengths <= 1024 plan via the direct basis (realfft plans
+    # any length; odd and large-non-pow2 are the documented PARITY.md gaps)
+    fft = Fft(100)
+    x100 = rng.standard_normal(100).astype(np.float32)
+    ref = np.fft.rfft(x100.astype(np.float64))
+    spec = np.asarray(fft.forward(x100))
+    np.testing.assert_allclose(spec[0, 1:], ref[1:50].real, atol=1e-4)
+    np.testing.assert_allclose(spec[1, 1:], ref[1:50].imag, atol=1e-4)
+    np.testing.assert_allclose(spec[0, 0], ref[0].real, atol=1e-4)
+    np.testing.assert_allclose(spec[1, 0], ref[50].real, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(fft.inverse(spec)), x100, atol=1e-5)
+
     with pytest.raises(ValueError):
-        Fft(100)
+        Fft(101)  # odd
+    with pytest.raises(ValueError):
+        Fft(2050)  # > direct max and not a power of two
