@@ -139,3 +139,106 @@ def test_two_stage_farm_matches_per_voice():
             y[:, voice, :].reshape(-1), y_ref, atol=1e-5,
             err_msg=f"voice {voice}",
         )
+
+
+def test_sharded_update_matches_uniform_mid_stream():
+    """Sharded update() mid-stream (shrink + transient, src/fft_convolver.rs:
+    174-213): outputs must match the single-device engine's update at 1e-5,
+    INCLUDING the shrunk-ring transient where current >= active."""
+    rng = np.random.default_rng(16)
+    b = 64
+    ir_a = rng.standard_normal(b * 16).astype(np.float32) * 0.1  # 16 segs / 8 devs
+    ir_b = rng.standard_normal(b * 5).astype(np.float32) * 0.1   # shrink to 5
+    x = rng.standard_normal((48, b)).astype(np.float32)
+
+    sh = partition.ShardedFFTConvolver(ir_a, b, len(ir_a))
+    y1 = sh.process(x[:13].reshape(-1))   # current walks into [11..15] zone
+    sh.update(ir_b)                        # active 16 -> 5 while current = 3
+    y2 = sh.process(x[13:].reshape(-1))
+
+    c = FFTConvolver(ir_a, b, len(ir_a))
+    r1 = c.process(x[:13].reshape(-1))
+    c.update(ir_b)
+    r2 = c.process(x[13:].reshape(-1))
+
+    np.testing.assert_allclose(y1, r1, atol=1e-5)
+    np.testing.assert_allclose(y2, r2, atol=1e-5)
+
+
+def test_sharded_update_shrunk_ring_transient():
+    """Update while current >= new active count: writes land in dead slots
+    until the head decrements below active (the gather fallback path)."""
+    rng = np.random.default_rng(17)
+    b = 64
+    ir_a = rng.standard_normal(b * 16).astype(np.float32) * 0.1
+    ir_b = rng.standard_normal(b * 2).astype(np.float32) * 0.1
+    x = rng.standard_normal((40, b)).astype(np.float32)
+
+    sh = partition.ShardedFFTConvolver(ir_a, b, len(ir_a))
+    c = FFTConvolver(ir_a, b, len(ir_a))
+    # after 2 blocks current = 14 (decrementing ring), far above active = 2
+    np.testing.assert_allclose(
+        sh.process(x[:2].reshape(-1)), c.process(x[:2].reshape(-1)), atol=1e-5
+    )
+    sh.update(ir_b)
+    c.update(ir_b)
+    np.testing.assert_allclose(
+        sh.process(x[2:].reshape(-1)), c.process(x[2:].reshape(-1)), atol=1e-5
+    )
+
+
+def test_sharded_update_padded_seg_count():
+    """seg_count padding (6 -> 8 rows): the sharded engine equals a reference
+    convolver with max_response_length padded to the mesh multiple."""
+    rng = np.random.default_rng(18)
+    b = 64
+    ir_a = rng.standard_normal(b * 5 + 17).astype(np.float32) * 0.1  # 6 segs
+    ir_b = rng.standard_normal(b * 3).astype(np.float32) * 0.1
+    x = rng.standard_normal((32, b)).astype(np.float32)
+
+    sh = partition.ShardedFFTConvolver(ir_a, b, len(ir_a))
+    assert sh.cfg.seg_count == 8
+    c = FFTConvolver(ir_a, b, 8 * b)  # the documented padded-max equivalent
+    np.testing.assert_allclose(
+        sh.process(x[:11].reshape(-1)), c.process(x[:11].reshape(-1)), atol=1e-5
+    )
+    sh.update(ir_b)
+    c.update(ir_b)
+    np.testing.assert_allclose(
+        sh.process(x[11:].reshape(-1)), c.process(x[11:].reshape(-1)), atol=1e-5
+    )
+    with np.testing.assert_raises(Exception):
+        sh.update(np.zeros(len(ir_a) + 1, np.float32))  # longer than declared
+
+
+def test_sharded_reset_repeatable():
+    """reset() clears input state, keeps the IR (src/fft_convolver.rs:296-307)."""
+    rng = np.random.default_rng(19)
+    b = 64
+    ir = rng.standard_normal(b * 16).astype(np.float32) * 0.1
+    x = rng.standard_normal((16, b)).astype(np.float32)
+
+    sh = partition.ShardedFFTConvolver(ir, b, len(ir))
+    y1 = sh.process(x.reshape(-1))
+    sh.reset()
+    y2 = sh.process(x.reshape(-1))
+    np.testing.assert_allclose(y1, y2, atol=1e-6)
+
+
+def test_sharded_clone_independent():
+    rng = np.random.default_rng(20)
+    b = 64
+    ir = rng.standard_normal(b * 8).astype(np.float32) * 0.1
+    x = rng.standard_normal((8, b)).astype(np.float32)
+
+    sh = partition.ShardedFFTConvolver(ir, b, len(ir))
+    sh.process(x[:4].reshape(-1))
+    twin = sh.clone()
+    twin.update(rng.standard_normal(b).astype(np.float32) * 0.1)
+    twin.process(x[4:].reshape(-1))
+    # original unaffected
+    ref = partition.ShardedFFTConvolver(ir, b, len(ir))
+    ref.process(x[:4].reshape(-1))
+    np.testing.assert_allclose(
+        sh.process(x[4:].reshape(-1)), ref.process(x[4:].reshape(-1)), atol=1e-6
+    )
