@@ -114,6 +114,16 @@ def main() -> None:
         f"({wall/t_blocks*1e6:.3f} us/block; slope over {c1}->{c2} chained, "
         f"raw totals {t_1*1e3:.1f}/{t_2*1e3:.1f} ms)")
 
+    # roofline: where the flagship sits relative to the silicon, not just
+    # relative to real time (algorithmic FLOPs/bytes of the stream program)
+    from fft_convolution_tpu.utils import roofline
+
+    util = roofline.utilization(
+        roofline.two_stage_stream_cost(cfg, t_blocks), wall
+    )
+    log(f"roofline: {util['gflops']:.0f} GFLOP/s ({util['mfu']*100:.2f}% MFU), "
+        f"{util['gbps']:.0f} GB/s ({util['hbm_util']*100:.1f}% HBM)")
+
     # per-block device latency (single-block serving path): two-point slope
     # over scanned single-block steps cancels the link constant here too
     n1, n2 = 64, 512
@@ -195,6 +205,8 @@ def main() -> None:
         "vs_baseline": round(xrt / 1000.0, 3),
         "p50_block_latency_ms": round(p50_ms, 4),
         "parity_max_abs_err": err,
+        "mfu": round(util["mfu"], 5),
+        "hbm_util": round(util["hbm_util"], 4),
     }))
 
 

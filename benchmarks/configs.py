@@ -56,10 +56,13 @@ def _chain_time(fn, state, x, chain=4, reps=3):
             st, v = run(st, x)
             _ = float(v)
             best = min(best, time.perf_counter() - t0)
-        return best
+        return st, best
 
-    t1 = timed(run1, jax.tree.map(jnp.copy, state))
-    t2 = timed(run2, jax.tree.map(jnp.copy, state))
+    # thread the (donated) state through both runs instead of copying it:
+    # timing does not need a pristine start state, and a copy would double
+    # the peak HBM footprint — the voice count is sized against ONE state
+    st, t1 = timed(run1, state)
+    _st, t2 = timed(run2, st)
     return max((t2 - t1) / (c2 - c1), 1e-9)
 
 
@@ -153,7 +156,13 @@ def config4_crossfade_morph():
         sa, sb, cf, y = fused(sa, sb, cf, xs)
         return (sa, sb, cf), y
 
-    state0 = (cc.convolver_a.state, cc.convolver_b.state, cc.cf_state)
+    # copy: _chain_time donates its state, and the live wrapper states are
+    # reused for the morph-trigger timing below (tiny at this config)
+    import jax
+
+    state0 = jax.tree.map(
+        jnp.copy, (cc.convolver_a.state, cc.convolver_b.state, cc.cf_state)
+    )
     wall = _chain_time(run, state0, x, chain=4)
     audio = t * block / SR
 
@@ -166,26 +175,62 @@ def config4_crossfade_morph():
             "morph_update_ms": update_ms}
 
 
+def farm2_bytes_per_voice(block: int, ir_len: int, t_blocks: int) -> int:
+    """HBM bytes per farm2 voice, derived from the engine shapes instead of
+    a hand-measured constant.
+
+    Exact state: three uniform stages (input-spectra ring + IR table, the
+    big tail's table carrying the CORR_EXTRA_ROWS rebased extension) plus
+    the five tail-period buffers.  Estimated transients: the head stages'
+    time-DFT intermediates (~6 arrays at the padded block-axis length M)
+    and ~2 ring-sized temporaries in the tail correlation core (the IR
+    window views and the rebase roll).  The chained-timing scan donates its
+    carry, so the state is NOT doubled during measurement.
+    """
+    from fft_convolution_tpu.models import two_stage, uniform
+    from fft_convolution_tpu.ops.fft import next_power_of_two
+
+    tb = two_stage.compute_tail_block_size(block, ir_len)
+
+    def stage(n_segs: int, b: int, extra_ir_rows: int = 0) -> int:
+        ring = n_segs * 2 * b * 4
+        ir_tab = (n_segs + extra_ir_rows) * 2 * b * 4
+        return ring + ir_tab + 4 * b * 4   # + overlap/input/pre buffers
+
+    n_h = -(-min(ir_len, tb) // block)
+    n_t0 = -(-min(max(ir_len - tb, 0), tb) // block)
+    n_t = -(-max(ir_len - 2 * tb, 0) // tb)
+    state = (
+        stage(n_h, block) + stage(n_t0, block)
+        + stage(n_t, tb, extra_ir_rows=uniform.CORR_EXTRA_ROWS)
+        + 5 * tb * 4
+    )
+    m = next_power_of_two(max(n_h, n_t0) - 1 + t_blocks)
+    transients = 6 * m * 2 * block * 4 * 2      # both head-block stages
+    transients += 2 * n_t * 2 * tb * 4          # tail corr-core temps
+    return state + transients
+
+
 def config5_reverb_farm(voices: int = 1024, ir_seconds: int = 60):
     """Batched reverb farm: vmap over ``voices`` channels with distinct long
     IRs on one chip, using the two-stage farm (parallel/farm2.py — the
-    production engine for 60 s IRs).  Per-voice state is the IR + segment
-    spectra (~16L bytes ≈ 46 MB at 60 s/48 kHz), so one 16 GB chip holds a
-    slice of the 1024; the voice axis shards over chips for the rest
-    (farm.shard_farm — zero steady-state collectives).  Reports aggregate
-    realtime voices/chip."""
+    production engine for 60 s IRs).  Voice count is sized by the derived
+    per-voice memory model (:func:`farm2_bytes_per_voice`); the voice axis
+    shards over chips for the rest (farm.shard_farm — zero steady-state
+    collectives).  Reports aggregate realtime voices/chip."""
     import jax
     import jax.numpy as jnp
     import numpy as np
 
+    from fft_convolution_tpu.models import two_stage
     from fft_convolution_tpu.parallel import farm2
 
     block = 128
     hbm = 15e9 if jax.devices()[0].platform == "tpu" else 2e9
-    # state ~16L/voice, doubled by the chained-timing scan carry, plus the
-    # sliced-tail doubled-IR transient, the time-DFT intermediates of the
-    # head stages, and XLA temporaries -> 100L measured-safe budget
-    per_voice = 100 * ir_seconds * SR
+    ir_len = ir_seconds * SR
+    tb = two_stage.compute_tail_block_size(block, ir_len)
+    t_blocks = 2 * (tb // block)
+    per_voice = farm2_bytes_per_voice(block, ir_len, t_blocks)
     voices = int(min(voices, max(1, hbm // per_voice)))
 
     rng = np.random.default_rng(4)

@@ -67,6 +67,21 @@ def farm2_init(irs, block_size: int, max_response_length: int
     if max_response_length > 2 * tb:
         t_len = max_response_length - 2 * tb
         tail_cfg, tail_state = farm.farm_init(padded[:, 2 * tb :], tb, t_len)
+        # farm2-internal state convention: the big tail's IR table carries
+        # CORR_EXTRA_ROWS periodic extension rows and the ring stays REBASED
+        # (current == 0) so the correlation stream core uses only static
+        # slices and never rebuilds a doubled table per call (the per-call
+        # build was half the tail's HBM traffic — see
+        # uniform.stream_corr_rebased_unguarded)
+        n_t = tail_cfg.seg_count
+        ext_idx = jnp.arange(uniform.CORR_EXTRA_ROWS) % n_t
+        tail_state = tail_state._replace(
+            segments_ir=jnp.concatenate(
+                [tail_state.segments_ir,
+                 jnp.take(tail_state.segments_ir, ext_idx, axis=1)],
+                axis=1,
+            )
+        )
     else:
         tail_cfg = None
         _, ts = uniform.empty(tb)
@@ -103,7 +118,7 @@ def farm2_stream(cfg: two_stage.TwoStageConfig, state: two_stage.TwoStageState,
     per_voice = functools.partial(
         two_stage.process_stream_aligned, cfg,
         small_stream=uniform.stream_conv_unguarded,
-        big_stream=uniform.stream_scan_sliced_unguarded,
+        big_stream=uniform.stream_corr_rebased_unguarded,
     )
     st2, ys = farm.lockstep_vmap_stream(per_voice, state, vx)
     return st2, jnp.swapaxes(ys, 0, 1)

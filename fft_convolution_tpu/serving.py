@@ -229,6 +229,125 @@ class PallasTwoStageConvolver:
         return other
 
 
+class PallasStreamingConvolver:
+    """Grid-streaming fused-kernel convolver for LONG-IR batch serving.
+
+    Unlike :class:`PallasFFTConvolver` (whole working set VMEM-resident,
+    ~10 s IR ceiling at B=128), this engine keeps only the input ring in
+    VMEM and streams the IR tables from HBM chunk by chunk inside one
+    ``pallas_call`` covering the whole input batch
+    (:mod:`ops.pallas_stream`), so a 30 s IR serves with flat per-block
+    cost.  ``process`` takes block-aligned input (any multiple of
+    ``block_size``).  ``seg_count`` pads to the chunk multiple — equivalent
+    to a reference convolver with a padded ``max_response_length``
+    (``src/fft_convolver.rs:111-118``).
+    """
+
+    def __init__(self, response, block_size: int, max_response_length: int,
+                 chunk: int = 512, interpret: bool | None = None):
+        from .ops import pallas_stream
+
+        response = np.asarray(response, np.float32)
+        if max_response_length < response.shape[0]:
+            raise ValueError(
+                "max_response_length must be at least the length of the "
+                "initial impulse response"
+            )
+        cfg0 = uniform.make_config(block_size, max_response_length)
+        self._chunk = min(chunk, cfg0.seg_count)
+        n = pallas_stream.padded_seg_count(cfg0.seg_count, self._chunk)
+        if not pallas_stream.fits_vmem(n, cfg0.block_size, self._chunk):
+            raise ValueError(
+                "ring exceeds the VMEM budget even with streamed IR tables; "
+                "use TwoStageFFTConvolver for IRs this long"
+            )
+        self.cfg = uniform.make_config(block_size, n * cfg0.block_size)
+        assert self.cfg.seg_count == n
+        if interpret is None:
+            interpret = jax.devices()[0].platform != "tpu"
+        self._interpret = interpret
+        self._declared_max = max_response_length
+        _, ustate = uniform.init(response, block_size, n * cfg0.block_size)
+        self.consts = pallas_stream.build_consts(
+            ustate.segments_ir, n, self.cfg.block_size
+        )
+        self.state = pallas_stream.zero_state(n, self.cfg.block_size)
+        self._runs: dict = {}
+
+    def _run(self, t: int):
+        run = self._runs.get(t)
+        if run is None:
+            from .ops import pallas_stream
+
+            run = jax.jit(functools.partial(
+                pallas_stream.stream, self.cfg,
+                chunk=self._chunk, interpret=self._interpret,
+            ))
+            self._runs[t] = run
+        return run
+
+    def process(self, input) -> np.ndarray:
+        x = np.asarray(input, np.float32)
+        b = self.cfg.block_size
+        if x.shape[0] % b:
+            raise ValueError(
+                f"PallasStreamingConvolver.process takes block-aligned input "
+                f"(multiples of {b} samples, got {x.shape[0]})"
+            )
+        if x.shape[0] == 0:
+            return x
+        t = x.shape[0] // b
+        self.state, y = self._run(t)(
+            self.consts, self.state, jnp.asarray(x.reshape(t, b))
+        )
+        return np.asarray(y).reshape(-1)
+
+    def update(self, response) -> None:
+        """RT-safe IR swap: rebuild the reversed tables (fixed shapes), zero
+        the pending overlap, keep the ring history
+        (``src/fft_convolver.rs:174-213``; full-ring kernel precondition, so
+        the new IR occupies the same padded segment budget)."""
+        from .ops import pallas_stream
+
+        response = np.asarray(response, np.float32)
+        if response.shape[0] > self._declared_max:
+            raise ValueError("New impulse response is longer than initialized length")
+        padded = np.zeros(self.cfg.seg_count * self.cfg.block_size, np.float32)
+        padded[: response.shape[0]] = response
+        ir2_re, ir2_im = _jit_rebuild_ir(self.cfg)(jnp.asarray(padded))
+        n = self.cfg.seg_count
+        # _jit_rebuild_ir returns doubled planes; un-double and reverse
+        spec = jnp.stack([ir2_re[:n], ir2_im[:n]], axis=1)
+        self.consts = pallas_stream.build_consts(spec, n, self.cfg.block_size)
+        self.state = self.state._replace(
+            overlap=jnp.zeros_like(self.state.overlap)
+        )
+
+    def reset(self) -> None:
+        from .ops import pallas_stream
+
+        self.state = pallas_stream.zero_state(
+            self.cfg.seg_count, self.cfg.block_size
+        )
+
+    def snapshot(self):
+        return self.state
+
+    def restore(self, snap) -> None:
+        self.state = snap
+
+    def clone(self) -> "PallasStreamingConvolver":
+        other = object.__new__(PallasStreamingConvolver)
+        other.cfg = self.cfg
+        other.consts = self.consts
+        other.state = self.state
+        other._chunk = self._chunk
+        other._interpret = self._interpret
+        other._declared_max = self._declared_max
+        other._runs = {}
+        return other
+
+
 class PallasFFTConvolver:
     """Fused-kernel uniform convolver for single-block real-time serving."""
 

@@ -185,3 +185,43 @@ def test_pallas_two_stage_vmem_guard():
         PallasTwoStageConvolver(
             np.ones(2_100_000, np.float32) * 1e-4, 1024, 2_100_000
         )
+
+
+def test_pallas_streaming_convolver_matches_engine():
+    """Grid-streaming long-IR serving engine vs the reference-faithful
+    FFTConvolver, across multiple calls (ring persistence + wraparound) and
+    a live update()."""
+    from fft_convolution_tpu import FFTConvolver
+    from fft_convolution_tpu.serving import PallasStreamingConvolver
+
+    rng = np.random.default_rng(40)
+    b = 128
+    ir = rng.standard_normal(b * 21 - 37).astype(np.float32) * 0.1
+    ir_b = rng.standard_normal(b * 10).astype(np.float32) * 0.1
+    x = rng.standard_normal(b * 80).astype(np.float32)
+
+    conv = PallasStreamingConvolver(ir, b, len(ir), chunk=8)
+    n = conv.cfg.seg_count
+    assert n % 8 == 0 and n >= 21
+    # the documented padded-max equivalent
+    ref = FFTConvolver(ir, b, n * b)
+
+    # multi-call streaming (> 2 ring periods)
+    for lo, hi in [(0, 30), (30, 31), (31, 80)]:
+        y = conv.process(x[lo * b:hi * b])
+        y_ref = ref.process(x[lo * b:hi * b])
+        np.testing.assert_allclose(y, y_ref, atol=2e-5, err_msg=f"{lo}:{hi}")
+
+    # live update keeps ring history, zeroes overlap
+    conv.update(ir_b)
+    ref.update(np.pad(ir_b, (0, n * b - len(ir_b))))  # same active count
+    y = conv.process(x[:16 * b])
+    y_ref = ref.process(x[:16 * b])
+    np.testing.assert_allclose(y, y_ref, atol=2e-5)
+
+    # reset repeatability
+    conv.reset()
+    y1 = conv.process(x[:8 * b])
+    conv.reset()
+    y2 = conv.process(x[:8 * b])
+    np.testing.assert_array_equal(y1, y2)

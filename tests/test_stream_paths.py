@@ -108,3 +108,39 @@ def test_two_stage_wrapper_uses_aligned_path():
     y_a = a.process(x)
     y_b = b.process(x)  # n % tail_block == 0 -> aligned path
     np.testing.assert_allclose(y_a, y_b, atol=1e-5)
+
+
+def test_stream_corr_rebased_matches_sequential():
+    """The correlation tail core (rebased-ring state convention: extended IR
+    table, current pinned at 0) must match the sequential block scan's
+    OUTPUTS across calls, ring wraparound, and varying call lengths — the
+    internal slot labeling legitimately differs by the rebase rotation, so
+    state correctness is covered by the cross-call continuation."""
+    rng = np.random.default_rng(60)
+    b = 64
+    n_segs = 5
+    ir = rng.standard_normal(b * n_segs).astype(np.float32) * 0.1
+    cfg, state = uniform.init(ir, b, len(ir))
+    assert cfg.seg_count == n_segs
+
+    ext_idx = jnp.arange(uniform.CORR_EXTRA_ROWS) % n_segs
+    corr_state = state._replace(
+        segments_ir=jnp.concatenate(
+            [state.segments_ir, jnp.take(state.segments_ir, ext_idx, axis=0)],
+            axis=0,
+        )
+    )
+    run_corr = jax.jit(functools.partial(uniform.stream_corr_rebased_unguarded, cfg))
+    run_ref = jax.jit(functools.partial(uniform.process_stream_scan, cfg))
+
+    for call, t in enumerate([2, 3, 1, 5, 4]):  # q varies, wraps the ring
+        x = rng.standard_normal((t, b)).astype(np.float32)
+        corr_state, y = run_corr(corr_state, jnp.asarray(x))
+        state, y_ref = run_ref(state, jnp.asarray(x))
+        np.testing.assert_allclose(
+            np.asarray(y), np.asarray(y_ref), atol=1e-5,
+            err_msg=f"call {call} (T={t})",
+        )
+        np.testing.assert_allclose(
+            np.asarray(corr_state.overlap), np.asarray(state.overlap),
+            atol=1e-5)

@@ -204,3 +204,21 @@ def test_fft_plan_wrapper_surface():
         Fft(101)  # odd
     with pytest.raises(ValueError):
         Fft(2050)  # > direct max and not a power of two
+
+
+def test_roofline_accounting():
+    """MFU/HBM accounting sanity: positive, 4-step beats direct-basis FLOPs
+    at large n, and the flagship config lands in a plausible band."""
+    from fft_convolution_tpu.models import two_stage
+    from fft_convolution_tpu.utils import roofline
+
+    big = roofline._rdft_cost(1, 16384)
+    assert big.flops < 2.0 * 16384 * 16384  # 4-step strictly beats direct
+
+    cfg, _ = two_stage.init(np.zeros(480000, np.float32), 128, 480000)
+    c = roofline.two_stage_stream_cost(cfg, 2048)
+    assert 1e9 < c.flops < 1e11
+    assert 1e7 < c.bytes < 1e10
+    u = roofline.utilization(c, 1e-3)
+    assert set(u) == {"mfu", "hbm_util", "gflops", "gbps"}
+    assert u["mfu"] > 0 and u["hbm_util"] > 0
