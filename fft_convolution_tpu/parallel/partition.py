@@ -75,11 +75,13 @@ def make_mesh(devices=None, axis: str = "sp") -> Mesh:
 
 def init(mesh: Mesh, response, block_size: int, max_response_length: int
          ) -> Tuple[uniform.UniformConfig, ShardedFDLState]:
-    """Build a sharded FDL; seg_count is padded up to a multiple of the mesh
-    size so every chip owns an equal row slab."""
-    n_dev = mesh.devices.size
+    """Build a sharded FDL; seg_count is padded up to a multiple of the
+    'sp' axis size so every sp shard owns an equal row slab.  The mesh may
+    have other axes (e.g. a 2-D (dp, sp) serving mesh) — the FDL is sharded
+    over 'sp' only and replicated over the rest."""
+    n_shards = mesh.shape["sp"]
     cfg0 = uniform.make_config(block_size, max_response_length)
-    seg_count = -(-cfg0.seg_count // n_dev) * n_dev
+    seg_count = -(-cfg0.seg_count // n_shards) * n_shards
     cfg = uniform.UniformConfig(
         block_size=cfg0.block_size, seg_count=seg_count, ir_len=cfg0.ir_len
     )
@@ -153,8 +155,13 @@ def _build_raw_step(cfg: uniform.UniformConfig, mesh: Mesh):
     """Unjitted sharded block step: ``(state, x[B]) -> (state, y[B])``."""
     b = cfg.block_size
     n = cfg.seg_count
-    n_dev = mesh.devices.size
-    local_rows = n // n_dev
+    # shard count is the 'sp' AXIS size, not the device count: on a
+    # multi-axis mesh (e.g. (dp, sp)) P("sp") shards rows over sp only and
+    # replicates over the other axes, so the slab each body instance sees
+    # is n / |sp| rows.  (Using devices.size here silently mis-indexed the
+    # ring on 2-D meshes.)
+    n_shards = mesh.shape["sp"]
+    local_rows = n // n_shards
 
     def local_step(seg_local, ir2, overlap, current, active, x):
         # shard_map body: seg_local [local_rows, 2, B]; ir2 is the full

@@ -14,7 +14,7 @@ import numpy as np
 
 from fft_convolution_tpu import FFTConvolver
 from fft_convolution_tpu.models import uniform
-from fft_convolution_tpu.parallel import farm, partition
+from fft_convolution_tpu.parallel import farm, partition, two_stage_sp
 
 
 def test_vmap_farm_matches_loop():
@@ -87,6 +87,43 @@ def test_segment_sharded_padding():
     c = FFTConvolver(ir, b, len(ir))
     y_ref = c.process(x.reshape(-1))
     np.testing.assert_allclose(np.asarray(y).reshape(-1), y_ref, atol=1e-5)
+
+
+def test_segment_sharded_fdl_on_2d_mesh():
+    """Regression: the FDL is sharded over the 'sp' AXIS, not the device
+    count.  On a multi-axis (dp, sp) serving mesh P("sp") gives each body
+    instance seg_count/|sp| rows; sizing the slab by devices.size silently
+    mis-indexed the ring (caught only past the first block, which is why
+    the single-step dryrun missed it)."""
+    from jax.sharding import Mesh
+
+    rng = np.random.default_rng(21)
+    b = 64
+    ir = rng.standard_normal(b * 8).astype(np.float32) * 0.1
+    x = rng.standard_normal((24, b)).astype(np.float32)
+
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(2, 4), ("dp", "sp"))
+    cfg, state = partition.init(mesh, ir, b, len(ir))
+    assert cfg.seg_count % 4 == 0
+    run = partition.build_stream(cfg, mesh)
+    state, y = run(state, jnp.asarray(x))
+
+    c = FFTConvolver(ir, b, len(ir))
+    y_ref = c.process(x.reshape(-1))
+    np.testing.assert_allclose(np.asarray(y).reshape(-1), y_ref, atol=1e-5)
+
+    # and the update path under the 2-D mesh
+    ir_b = rng.standard_normal(b * 3).astype(np.float32) * 0.1
+    padded = np.zeros(cfg.seg_count * b, np.float32)
+    padded[: len(ir_b)] = ir_b
+    state = jax.jit(functools.partial(partition.update, cfg))(
+        state, jnp.asarray(padded), jnp.asarray(len(ir_b), jnp.int32)
+    )
+    _, y2 = run(state, jnp.asarray(x))
+    c.update(ir_b)
+    np.testing.assert_allclose(
+        np.asarray(y2).reshape(-1), c.process(x.reshape(-1)), atol=1e-5
+    )
 
 
 def test_farm_update_batched():
@@ -223,6 +260,82 @@ def test_sharded_reset_repeatable():
     sh.reset()
     y2 = sh.process(x.reshape(-1))
     np.testing.assert_allclose(y1, y2, atol=1e-6)
+
+
+def test_sharded_two_stage_matches_single_device():
+    """Sharded long-IR two-stage (head/tail0 replicated, main tail sp-sharded):
+    must match the single-device TwoStageFFTConvolver at 1e-5 across calls."""
+    from fft_convolution_tpu import TwoStageFFTConvolver
+
+    rng = np.random.default_rng(22)
+    b = 64
+    ir_len = 4096
+    ir = rng.standard_normal(ir_len).astype(np.float32) * 0.05
+
+    sh = two_stage_sp.ShardedTwoStageConvolver(ir, b, ir_len)
+    assert sh.cfg.tail_block == 512 and sh.cfg.period == 8
+    ref = TwoStageFFTConvolver(ir, b, ir_len)
+
+    x = rng.standard_normal(4 * sh.cfg.tail_block).astype(np.float32)
+    # two calls: state carries across jit invocations
+    half = len(x) // 2
+    y = np.concatenate([sh.process(x[:half]), sh.process(x[half:])])
+    y_ref = ref.process(x)
+    np.testing.assert_allclose(y, y_ref, atol=1e-5)
+
+
+def test_sharded_two_stage_update_reset_clone():
+    from fft_convolution_tpu import TwoStageFFTConvolver
+
+    rng = np.random.default_rng(23)
+    b = 64
+    ir_len = 4096
+    ir_a = rng.standard_normal(ir_len).astype(np.float32) * 0.05
+    ir_b = rng.standard_normal(2000).astype(np.float32) * 0.05
+
+    sh = two_stage_sp.ShardedTwoStageConvolver(ir_a, b, ir_len)
+    ref = TwoStageFFTConvolver(ir_a, b, ir_len)
+    tb = sh.cfg.tail_block
+    x = rng.standard_normal(4 * tb).astype(np.float32)
+
+    # update surface matches the reference todo!(); extension matches the
+    # single-device extension semantics
+    with np.testing.assert_raises(NotImplementedError):
+        sh.update(ir_b)
+    np.testing.assert_allclose(
+        sh.process(x[: 2 * tb]), ref.process(x[: 2 * tb]), atol=1e-5
+    )
+    snap = sh.snapshot()
+    sh.update_extension(ir_b)
+    ref.update_extension(ir_b)
+    y_updated = ref.process(x[2 * tb :])
+    np.testing.assert_allclose(sh.process(x[2 * tb :]), y_updated, atol=1e-5)
+
+    # restore + clone independence: the twin takes the update, the restored
+    # original continues on the old IR
+    sh.restore(snap)
+    twin = sh.clone()
+    twin.update_extension(ir_b)
+    np.testing.assert_allclose(twin.process(x[2 * tb :]), y_updated, atol=1e-5)
+    ref2 = TwoStageFFTConvolver(ir_a, b, ir_len)
+    ref2.process(x[: 2 * tb])
+    np.testing.assert_allclose(
+        sh.process(x[2 * tb :]), ref2.process(x[2 * tb :]), atol=1e-5
+    )
+
+    # reset repeatability (src/fft_convolver.rs:497-511)
+    sh2 = two_stage_sp.ShardedTwoStageConvolver(ir_a, b, ir_len)
+    y1 = sh2.process(x)
+    sh2.reset()
+    y2 = sh2.process(x)
+    np.testing.assert_allclose(y1, y2, atol=1e-6)
+
+    # too-short IR: nothing reaches the main tail
+    with np.testing.assert_raises(ValueError):
+        two_stage_sp.ShardedTwoStageConvolver(ir_b, b, 600)
+    # misaligned input
+    with np.testing.assert_raises(ValueError):
+        sh.process(np.zeros(tb + b, np.float32))
 
 
 def test_sharded_clone_independent():
