@@ -24,6 +24,8 @@ __all__ = [
     "CrossfadeConvolver",
     "PallasFFTConvolver",
     "PallasTwoStageConvolver",
+    "ShardedFFTConvolver",
+    "ShardedTwoStageConvolver",
 ]
 
 
@@ -41,4 +43,10 @@ def __getattr__(name):
     if name == "PallasTwoStageConvolver":
         from .serving import PallasTwoStageConvolver
         return PallasTwoStageConvolver
+    if name == "ShardedFFTConvolver":
+        from .parallel.partition import ShardedFFTConvolver
+        return ShardedFFTConvolver
+    if name == "ShardedTwoStageConvolver":
+        from .parallel.two_stage_sp import ShardedTwoStageConvolver
+        return ShardedTwoStageConvolver
     raise AttributeError(name)
