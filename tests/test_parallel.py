@@ -338,6 +338,38 @@ def test_sharded_two_stage_update_reset_clone():
         sh.process(np.zeros(tb + b, np.float32))
 
 
+def test_crossfade_wraps_sharded_engine():
+    """Engine-genericity across chips: CrossfadeConvolver<T> accepts the
+    sharded FDL (the reference wrapper is generic over any Convolution,
+    src/crossfade_convolver.rs:3-17) — live artifact-free IR switching on
+    an IR that spans the mesh."""
+    from fft_convolution_tpu import CrossfadeConvolver
+
+    rng = np.random.default_rng(24)
+    b = 64
+    ir_a = rng.standard_normal(b * 8).astype(np.float32) * 0.1
+    ir_b = rng.standard_normal(b * 8).astype(np.float32) * 0.1
+    x = rng.standard_normal((24, b)).astype(np.float32)
+
+    cf_sh = CrossfadeConvolver(
+        partition.ShardedFFTConvolver(ir_a, b, len(ir_a)), len(ir_a), b, 128
+    )
+    cf_ref = CrossfadeConvolver(FFTConvolver(ir_a, b, len(ir_a)), len(ir_a), b, 128)
+
+    y1 = [cf_sh.process(x[:8].reshape(-1)), cf_ref.process(x[:8].reshape(-1))]
+    cf_sh.update(ir_b)
+    cf_ref.update(ir_b)
+    y2 = [cf_sh.process(x[8:].reshape(-1)), cf_ref.process(x[8:].reshape(-1))]
+    np.testing.assert_allclose(y1[0], y1[1], atol=1e-5)
+    np.testing.assert_allclose(y2[0], y2[1], atol=1e-5)
+    # fade actually moved: post-update output differs from the no-update run
+    cf_none = CrossfadeConvolver(
+        partition.ShardedFFTConvolver(ir_a, b, len(ir_a)), len(ir_a), b, 128
+    )
+    cf_none.process(x[:8].reshape(-1))
+    assert np.max(np.abs(y2[0] - cf_none.process(x[8:].reshape(-1)))) > 1e-3
+
+
 def test_sharded_clone_independent():
     rng = np.random.default_rng(20)
     b = 64
