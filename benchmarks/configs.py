@@ -179,13 +179,17 @@ def farm2_bytes_per_voice(block: int, ir_len: int, t_blocks: int) -> int:
     """HBM bytes per farm2 voice, derived from the engine shapes instead of
     a hand-measured constant.
 
-    Exact state: three uniform stages (input-spectra ring + IR table, the
-    big tail's table carrying the CORR_EXTRA_ROWS rebased extension) plus
-    the five tail-period buffers.  Estimated transients: the head stages'
-    time-DFT intermediates (~6 arrays at the padded block-axis length M)
-    and ~2 ring-sized temporaries in the tail correlation core (the IR
-    window views and the rebase roll).  The chained-timing scan donates its
-    carry, so the state is NOT doubled during measurement.
+    Exact state: three uniform stages (input-spectra ring + IR table; the
+    big tail's table is the DOUBLED periodic table of the phased corr core,
+    2N + CORR_EXTRA_ROWS rows) plus the five tail-period buffers.
+    Estimated transients: the head stages' time-DFT intermediates (~6
+    arrays at the padded block-axis length M) and ~1 ring-sized temporary
+    in the tail correlation core (an IR window that fails to fuse; the
+    roll-free phased core has no ring copy — the rebased core's roll cost
+    TWO extra ring-size buffers, confirmed by the r2 OOM dump at 137
+    voices).  The chained-timing scan donates its carry, so the state is
+    NOT doubled during measurement.  A 1.08 factor covers XLA tiling
+    padding (the OOM dump showed 1.05-1.1x expansion on the big arrays).
     """
     from fft_convolution_tpu.models import two_stage, uniform
     from fft_convolution_tpu.ops.fft import next_power_of_two
@@ -202,13 +206,13 @@ def farm2_bytes_per_voice(block: int, ir_len: int, t_blocks: int) -> int:
     n_t = -(-max(ir_len - 2 * tb, 0) // tb)
     state = (
         stage(n_h, block) + stage(n_t0, block)
-        + stage(n_t, tb, extra_ir_rows=uniform.CORR_EXTRA_ROWS)
+        + stage(n_t, tb, extra_ir_rows=n_t + uniform.CORR_EXTRA_ROWS)
         + 5 * tb * 4
     )
     m = next_power_of_two(max(n_h, n_t0) - 1 + t_blocks)
     transients = 6 * m * 2 * block * 4 * 2      # both head-block stages
-    transients += 2 * n_t * 2 * tb * 4          # tail corr-core temps
-    return state + transients
+    transients += 1 * n_t * 2 * tb * 4          # tail corr-core temp
+    return int((state + transients) * 1.08)
 
 
 def config5_reverb_farm(voices: int = 1024, ir_seconds: int = 60):
@@ -226,7 +230,9 @@ def config5_reverb_farm(voices: int = 1024, ir_seconds: int = 60):
     from fft_convolution_tpu.parallel import farm2
 
     block = 128
-    hbm = 15e9 if jax.devices()[0].platform == "tpu" else 2e9
+    # budget: chip capacity is 15.75 GiB (16.9e9 B); 15.5e9 leaves ~1.4 GB
+    # for the input stream, DFT bases, and executable
+    hbm = 15.5e9 if jax.devices()[0].platform == "tpu" else 2e9
     ir_len = ir_seconds * SR
     tb = two_stage.compute_tail_block_size(block, ir_len)
     t_blocks = 2 * (tb // block)

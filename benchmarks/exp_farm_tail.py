@@ -139,15 +139,21 @@ def main():
     rng = np.random.default_rng(4)
     irs = (rng.standard_normal((voices, ir_seconds * SR)) * 0.002).astype(np.float32)
     cfg, state_full = farm2.farm2_init(irs, block, ir_seconds * SR)
-    # farm2_init extends the big-tail IR table (rebased corr-core
-    # convention); variants A-D expect the plain layout
+    # farm2_init's big tail is now ROWS-LEADING (phased corr core); the
+    # A-F variants want the plain voice-leading stage state — build one
+    # directly from the tail IR slice
     n_tail = cfg.tail.seg_count
-    state = state_full._replace(
-        tail=state_full.tail._replace(
-            segments_ir=state_full.tail.segments_ir[:, :n_tail]
+    tb_ = cfg.tail_block
+    _, tail_v = farm.farm_init(irs[:, 2 * tb_:], tb_, cfg.tail.ir_len)
+    state = state_full._replace(tail=tail_v)
+    ext_idx_e = jnp.arange(uniform.CORR_EXTRA_ROWS) % n_tail
+    state_ext_tail = tail_v._replace(
+        segments_ir=jnp.concatenate(
+            [tail_v.segments_ir,
+             jnp.take(tail_v.segments_ir, ext_idx_e, axis=1)],
+            axis=1,
         )
     )
-    state_ext_tail = state_full.tail
     p = cfg.period
     t = 2 * p
     q = t // p
@@ -215,8 +221,59 @@ def main():
         state_ext_tail, big)
     print(f"tail E corr rebased: {wall*1e3:8.2f} ms", flush=True)
 
+    # F: phased correlation core (roll-free: doubled periodic table, phase
+    # carried in `current`; saves the rebase roll's full-ring copy)
+    ext_idx = jnp.arange(n_tail + uniform.CORR_EXTRA_ROWS) % n_tail
+    state_ph_tail = state.tail._replace(
+        segments_ir=jnp.concatenate(
+            [state.tail.segments_ir,
+             jnp.take(state.tail.segments_ir, ext_idx, axis=1)],
+            axis=1,
+        )
+    )
+    wall = slope_time(
+        lambda st, xs: farm.lockstep_vmap_stream(
+            functools.partial(uniform.stream_corr_phased_unguarded, cfg.tail),
+            st, xs),
+        state_ph_tail, big)
+    print(f"tail F corr phased:  {wall*1e3:8.2f} ms", flush=True)
+
+    # G: planes-outer fused-voice phased core (the production farm2 tail
+    # after r2): fusing V*B removes the voice axis XLA otherwise relayouts
+    # onto lanes for the loop interior — the separate-axis variants E/F
+    # provoked whole-table layout copies (visible in single-call time,
+    # hidden from the slope; at 131 voices they alone exceeded HBM)
+    state_rows_tail = farm2._tail_fused_state(tail_v, n_tail)
+    big_rows = jnp.swapaxes(big, 0, 1)  # [q, V, tb]
+    wall = slope_time(
+        functools.partial(farm2._tail_corr_phased_fused, cfg.tail),
+        state_rows_tail, big_rows)
+    print(f"tail G phased fused:  {wall*1e3:8.2f} ms", flush=True)
+
+    # single-call walls (relay constant included — compare RELATIVE): a
+    # per-call layout copy shows up here but cancels out of the slope
+    def one_call(run, st0, xs, reps=3):
+        f = jax.jit(run, donate_argnums=(0,))
+        st, y = f(st0, xs)
+        _ = float(jnp.sum(y))
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            st, y = f(st, xs)
+            _ = float(jnp.sum(y))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    w_e = one_call(functools.partial(
+        farm.lockstep_vmap_stream,
+        functools.partial(uniform.stream_corr_rebased_unguarded, cfg.tail)),
+        jax.tree.map(jnp.copy, state_ext_tail), big)
+    w_g = one_call(functools.partial(farm2._tail_corr_phased_fused, cfg.tail),
+                   jax.tree.map(jnp.copy, state_rows_tail), big_rows)
+    print(f"1-call tail E/G:     {w_e*1e3:8.2f} / {w_g*1e3:8.2f} ms", flush=True)
+
     wall = slope_time(functools.partial(farm2.farm2_stream, cfg), state_full, x)
-    print(f"full farm2 (corr):   {wall*1e3:8.2f} ms  xrt/voice={audio/wall:8.1f} "
+    print(f"full farm2:          {wall*1e3:8.2f} ms  xrt/voice={audio/wall:8.1f} "
           f"rt_voices={audio/wall*voices:8.0f}", flush=True)
 
 

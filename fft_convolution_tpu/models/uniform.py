@@ -581,6 +581,84 @@ def stream_corr_rebased_unguarded(cfg: UniformConfig, state: UniformState,
     ), y
 
 
+def stream_corr_phased_unguarded(cfg: UniformConfig, state: UniformState,
+                                 blocks: jnp.ndarray
+                                 ) -> Tuple[UniformState, jnp.ndarray]:
+    """Roll-free variant of :func:`stream_corr_rebased_unguarded`: instead
+    of rolling the whole ring back to ``current == 0`` after every call (a
+    full ring read+write of HBM traffic and two ring-sized temporaries —
+    the dominant per-voice memory term in the reverb-farm OOM dump), the
+    ring rows stay FIXED and a phase scalar carried in ``state.current``
+    moves the IR window instead.
+
+    State convention (farm2-internal, PHASED ring):
+
+    * ``state.current`` holds the phase ``q``, incremented by T per call
+      (mod N); ``q == 0`` is bit-identical to the rebased layout;
+    * ``state.segments_ir`` is the DOUBLED periodic IR table
+      ``[2 * N + CORR_EXTRA_ROWS, 2, B]`` (row ``x`` holds
+      ``ir_spec[x mod N]``).
+
+    Derivation (mapping the rebased indices through the accumulated roll):
+    with ``U[x] = rebased_old[(x - p) mod N]`` and ``q = (N - p) mod N``,
+
+        conv[t] = sum_x U[x] (*) ext2[q + t : q + t + N][x]
+                + sum_{s<=t} (spec[s] - U[row_s]) (*) ext2[t - s],
+        row_s   = (N - q - s) mod N            (the slot about to be written)
+        U[row_s] <- spec[s];   q' = (q + T) mod N
+
+    The window start ``q + t`` is a lockstep traced scalar (shared across
+    vmapped voices — one batched dynamic slice, not a per-voice gather),
+    every other index is static, and with donation the T single-row writes
+    are in-place: per call the ring is READ T times and written T rows,
+    never copied.  Costs ``N - CORR_EXTRA_ROWS`` more IR-table rows than
+    the rebased core; saves the roll's full-ring copy (memory) and its
+    read+write (time).  Output-equivalent to the rebased core for any
+    sequence of calls (phase wraps mod N regardless of ``N % T``).
+
+    Preconditions (farm lockstep): full clean ring and
+    ``T <= min(N, CORR_EXTRA_ROWS)``.
+    """
+    b = cfg.block_size
+    n = cfg.seg_count
+    t_blocks = blocks.shape[0]
+    assert t_blocks <= min(cfg.seg_count, CORR_EXTRA_ROWS), (
+        f"correlation core supports at most min(seg_count, "
+        f"{CORR_EXTRA_ROWS}) blocks per call (got {t_blocks}, seg_count "
+        f"{cfg.seg_count})"
+    )
+    specs = rdft_block(blocks, cfg.fft_size)          # [T, 2, B]
+    ext2 = state.segments_ir                          # [2N + E, 2, B]
+    u = state.segments                                # [N, 2, B] (phased)
+    q = state.current                                 # phase scalar
+    ones = jnp.ones((n,), jnp.float32)
+
+    convs = []
+    for t in range(t_blocks):
+        wt = jax.lax.dynamic_slice_in_dim(ext2, q + t, n, axis=0)
+        acc = pmul_sum(wt, u, ones)
+        for s in range(t + 1):
+            row_s = jnp.mod(n - q - s, n)
+            u_old = jax.lax.dynamic_slice_in_dim(u, row_s, 1, axis=0)[0]
+            acc = acc + pmul(specs[s] - u_old, ext2[t - s])
+        convs.append(acc)
+    convs = jnp.stack(convs)
+
+    for s in range(t_blocks):
+        row_s = jnp.mod(n - q - s, n)
+        u = jax.lax.dynamic_update_slice_in_dim(u, specs[s][None], row_s, axis=0)
+    pre = convs[-1] - pmul(specs[-1], ext2[0])
+
+    outs = irdft_block(convs, cfg.fft_size)
+    tails = jnp.concatenate([state.overlap[None], outs[:-1, b:]], axis=0)
+    y = outs[:, :b] + tails
+    return state._replace(
+        segments=u, pre_multiplied=pre,
+        current=jnp.mod(q + t_blocks, n).astype(jnp.int32),
+        overlap=outs[-1, b:],
+    ), y
+
+
 def stream_conv_unguarded(cfg: UniformConfig, state: UniformState,
                           blocks: jnp.ndarray) -> Tuple[UniformState, jnp.ndarray]:
     """The conv-HLO stream without the safety conds — preconditions

@@ -2,19 +2,37 @@
 
 The uniform farm (``farm.py``) is O(ir_len) per voice-block; for 60 s IRs
 the two-stage engine cuts per-voice compute ~20x and shrinks the streaming
-working set (the big-tail stage uses the hoisted-DFT ring scan, which never
-materializes the conv-core's extended history).  Voice count per chip is
-bounded by the IR spectra themselves (~16L bytes/voice) instead of the
-uniform farm's ~45L.
+working set.  Voice count per chip is bounded by the IR spectra themselves
+instead of the uniform farm's ~45L bytes/voice.
 
-All stage streams are the *unguarded* cores vmapped over voices — batching a
-``lax.cond`` would execute both branches for every voice, so cleanliness
-(``current < active`` per stage) is a documented precondition.  It holds by
-construction here: this farm exposes init + stream (IR updates go through
-re-init or the uniform farm).
+Stage layout is chosen per axis order the hardware wants:
 
-Multi-chip: states stack along the voice axis, so the same ``('dp',)``
-sharding as ``farm.shard_farm`` applies (zero steady-state collectives).
+* **head / tail0** (small blocks, many rows of tiny spectra): vmapped over
+  a VOICE-LEADING ``[V, ...]`` state with all per-voice scalars passed
+  unbatched (``farm.lockstep_vmap_stream``) — batching rides the MXU's
+  batch dimension.
+* **big tail** (few steps, huge rows): a planes-outer FUSED-voice
+  ``[2, rows, V*B]`` state driven by the roll-free phased correlation
+  core (:func:`_tail_corr_phased_fused`).  The fused trailing axis is the
+  load-bearing choice: with a separate voice axis, XLA's layout
+  assignment relayouts the multi-GB ring/table to put VOICES on lanes
+  for the loop interior (propagated from the DFT dots), materializing
+  full-size entry/exit copies of both — the compiled chained program at
+  V=64 carried ``copy(st_tail_segments_ir)`` into ``{2,3,1,0}`` and back,
+  and at V=131 those temp copies alone exceeded HBM.  Fusing ``V*B``
+  removes the axis XLA wants to move (the fused axis rides lanes densely
+  in the default layout), the plane pair outermost makes ``a[0]/a[1]``
+  contiguous halves instead of strided slices, and the phase-window
+  dynamic slice cuts the rows axis, untouched by tiling.
+
+All stage cores are *unguarded* (clean full rings are a farm invariant:
+this farm exposes init + stream + batched full-capacity update, never a
+ring-shrinking update).
+
+Multi-chip: head/tail0 leaves stack along the voice axis (axis 0); the
+tail's big leaves shard along the fused ``V*B`` axis, which is voice-
+chunked exactly when ``V`` divides by the mesh — :func:`farm2_shard`
+places both over a ``('dp',)`` mesh with zero steady-state collectives.
 """
 
 from __future__ import annotations
@@ -27,7 +45,45 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..models import two_stage, uniform
+
+from ..ops.fft import ir_to_spectra, irdft_block, rdft_block
 from . import farm
+
+
+def _fuse_po(a: jnp.ndarray) -> jnp.ndarray:
+    """``[V, rows, 2, B] -> [2, rows, V*B]`` (planes-outer fused-voice)."""
+    v, rows, _, b = a.shape
+    return jnp.transpose(a, (2, 1, 0, 3)).reshape(2, rows, v * b)
+
+
+@functools.partial(jax.jit, static_argnums=(1,), donate_argnums=(0,))
+def _tail_fused_state(tail_state_v: uniform.UniformState,
+                      n_t: int) -> uniform.UniformState:
+    """Convert a voice-leading tail stage state (from ``farm.farm_init``)
+    to the farm2-internal planes-outer fused-voice phased convention: big
+    leaves ``[2, rows, V*B]`` (see module docstring for why this exact
+    shape), doubled periodic IR table, lockstep scalars.
+
+    Jitted with the input donated: at production voice counts the doubled
+    table is ~6 GB, and one fused program lets XLA build it straight from
+    the donated voice-leading spectra instead of materializing the
+    concatenated intermediate as a second multi-GB buffer."""
+    ext_idx = jnp.arange(n_t + uniform.CORR_EXTRA_ROWS) % n_t
+    table_v = tail_state_v.segments_ir                     # [V, n, 2, B]
+    table_v = jnp.concatenate(
+        [table_v, jnp.take(table_v, ext_idx, axis=1)], axis=1
+    )                                                      # [V, 2n+E, 2, B]
+    return uniform.UniformState(
+        segments=_fuse_po(tail_state_v.segments),          # [2, n, VB]
+        segments_ir=_fuse_po(table_v),                     # [2, 2n+E, VB]
+        overlap=tail_state_v.overlap,                      # [V, B]
+        input_buffer=tail_state_v.input_buffer,            # [V, B]
+        pre_multiplied=jnp.swapaxes(tail_state_v.pre_multiplied, 0, 1)
+        .reshape(2, -1),                                   # [2, VB]
+        current=tail_state_v.current[0],                   # phase (lockstep)
+        input_fill=tail_state_v.input_fill[0],
+        active_segs=tail_state_v.active_segs[0],
+    )
 
 
 def farm2_init(irs, block_size: int, max_response_length: int
@@ -66,22 +122,8 @@ def farm2_init(irs, block_size: int, max_response_length: int
 
     if max_response_length > 2 * tb:
         t_len = max_response_length - 2 * tb
-        tail_cfg, tail_state = farm.farm_init(padded[:, 2 * tb :], tb, t_len)
-        # farm2-internal state convention: the big tail's IR table carries
-        # CORR_EXTRA_ROWS periodic extension rows and the ring stays REBASED
-        # (current == 0) so the correlation stream core uses only static
-        # slices and never rebuilds a doubled table per call (the per-call
-        # build was half the tail's HBM traffic — see
-        # uniform.stream_corr_rebased_unguarded)
-        n_t = tail_cfg.seg_count
-        ext_idx = jnp.arange(uniform.CORR_EXTRA_ROWS) % n_t
-        tail_state = tail_state._replace(
-            segments_ir=jnp.concatenate(
-                [tail_state.segments_ir,
-                 jnp.take(tail_state.segments_ir, ext_idx, axis=1)],
-                axis=1,
-            )
-        )
+        tail_cfg, tail_state_v = farm.farm_init(padded[:, 2 * tb :], tb, t_len)
+        tail_state = _tail_fused_state(tail_state_v, tail_cfg.seg_count)
     else:
         tail_cfg = None
         _, ts = uniform.empty(tb)
@@ -106,19 +148,277 @@ def farm2_init(irs, block_size: int, max_response_length: int
     return cfg, state
 
 
+def farm2_update(cfg: two_stage.TwoStageConfig, state: two_stage.TwoStageState,
+                 new_irs) -> two_stage.TwoStageState:
+    """Batched RT-safe IR swap for the whole farm — the farm analogue of
+    ``TwoStageFFTConvolver.update_extension`` (the reference ``update`` is
+    ``todo!()``, ``src/fft_convolver.rs:408-410``; stage-wise semantics as
+    :func:`models.two_stage.update`).
+
+    Keeps every voice's input history and period phase, zeroes the pending
+    precalculated tail outputs, and keeps every ring CLEAN (the unguarded
+    stream cores' precondition) by declaring each stage's new IR at full
+    stage capacity: ``new_irs`` is zero-padded per stage, and trailing
+    zero-spectrum segments are live-but-silent exactly like init's padding
+    (``src/fft_convolver.rs:111-118``), so outputs match per-voice engines
+    that shrank their rings.
+
+    Call at a period boundary (``tail_fill == 0``) — the same invariant
+    :func:`farm2_stream` keeps.  ``new_irs``: ``[V, L]`` with ``L`` at most
+    the init ``max_response_length``.  Jittable.
+    """
+    new_irs = jnp.asarray(new_irs, jnp.float32)
+    v = new_irs.shape[0]
+    tb = cfg.tail_block
+
+    def stage_slice(lo: int, cap: int, total: int) -> jnp.ndarray:
+        sl = new_irs[:, lo: lo + cap]
+        return jnp.pad(sl, ((0, 0), (0, total - sl.shape[1])))
+
+    cap_h = cfg.head.ir_len
+    head = farm.farm_update(
+        cfg.head, state.head,
+        stage_slice(0, cap_h, cfg.head.seg_count * cfg.head.block_size),
+        jnp.full((v,), cap_h, jnp.int32),
+    )
+
+    if cfg.tail0 is not None:
+        cap0 = cfg.tail0.ir_len
+        tail0 = farm.farm_update(
+            cfg.tail0, state.tail0,
+            stage_slice(tb, cap0, cfg.tail0.seg_count * cfg.tail0.block_size),
+            jnp.full((v,), cap0, jnp.int32),
+        )
+    else:
+        tail0 = state.tail0
+
+    if cfg.tail is not None:
+        n_t = cfg.tail.seg_count
+        sl = stage_slice(2 * tb, cfg.tail.ir_len, n_t * tb)
+        spec = jax.vmap(lambda r: ir_to_spectra(r, tb, n_t))(sl)  # [V, n, 2, B]
+        # rebuild the planes-outer fused-voice doubled periodic table
+        ext_idx = jnp.arange(n_t + uniform.CORR_EXTRA_ROWS) % n_t
+        table = jnp.concatenate([spec, jnp.take(spec, ext_idx, axis=1)], axis=1)
+        tail = state.tail._replace(
+            segments_ir=_fuse_po(table),
+            overlap=jnp.zeros_like(state.tail.overlap),
+            pre_multiplied=jnp.zeros_like(state.tail.pre_multiplied),
+        )
+    else:
+        tail = state.tail
+
+    def zeros_t():
+        return jnp.zeros_like(state.tail_input)
+
+    return state._replace(
+        head=head, tail0=tail0, tail=tail,
+        tail_output0=zeros_t(), tail_precalc0=zeros_t(),
+        tail_output=zeros_t(), tail_precalc=zeros_t(),
+    )
+
+
+def _lane0_fused(vb: int, b: int) -> jnp.ndarray:
+    """1.0 at each voice's DC lane (position 0 mod ``b``) in the fused
+    ``V*B`` axis — the per-voice DC/Nyquist packing mask."""
+    return (jnp.arange(vb) % b == 0).astype(jnp.float32)
+
+
+def _pmul_sum_fused(a: jnp.ndarray, b: jnp.ndarray, m0: jnp.ndarray) -> jnp.ndarray:
+    """Packed-product sum over the rows axis in the planes-outer fused
+    layout: ``a, b`` are ``[2, N, VB]``; returns ``[2, VB]``.  Same
+    DC/Nyquist lane-0 packing as :func:`ops.cpx.pmul_sum`, with the mask
+    repeated per voice (``m0 = _lane0_fused``)."""
+    ar, ai = a[0], a[1]
+    br, bi = b[0], b[1]
+    rr = jnp.sum(ar * br, axis=0)
+    ii = jnp.sum(ai * bi, axis=0)
+    ri = jnp.sum(ar * bi, axis=0)
+    ir_ = jnp.sum(ai * br, axis=0)
+    re = rr - ii * (1.0 - m0)
+    im = (ri + ir_) * (1.0 - m0) + ii * m0
+    return jnp.stack([re, im], axis=0)
+
+
+def _pmul_fused(a: jnp.ndarray, b: jnp.ndarray, m0: jnp.ndarray) -> jnp.ndarray:
+    """Packed product in the planes-outer fused layout: ``[2, VB]``."""
+    ar, ai = a[0], a[1]
+    br, bi = b[0], b[1]
+    cross = ai * bi
+    re = ar * br - cross * (1.0 - m0)
+    im = (ar * bi + ai * br) * (1.0 - m0) + cross * m0
+    return jnp.stack([re, im], axis=0)
+
+
+def _tail_corr_phased_fused(cfg: uniform.UniformConfig,
+                            state: uniform.UniformState,
+                            blocks_rows: jnp.ndarray
+                            ) -> Tuple[uniform.UniformState, jnp.ndarray]:
+    """Planes-outer fused-voice batched phased correlation core — the farm
+    big-tail engine.  Index math identical to
+    :func:`models.uniform.stream_corr_phased_unguarded` (see its docstring
+    for the derivation); the big arrays carry the packed plane pair
+    outermost and the voice/lane axes FUSED (module docstring explains why
+    this is the only copy-free layout):
+
+    * ``state.segments``    ``[2, N, V*B]``    (phased ring)
+    * ``state.segments_ir`` ``[2, 2N+E, V*B]`` (doubled periodic table)
+    * ``state.current``     ``[]`` phase scalar (voices in lockstep)
+    * ``blocks_rows``       ``[T, V, B]``
+    """
+    b = cfg.block_size
+    n = cfg.seg_count
+    t_blocks, v = blocks_rows.shape[0], blocks_rows.shape[1]
+    assert t_blocks <= min(n, uniform.CORR_EXTRA_ROWS), (
+        f"correlation core supports at most min(seg_count, "
+        f"{uniform.CORR_EXTRA_ROWS}) blocks per call (got {t_blocks}, "
+        f"seg_count {n})"
+    )
+    bs = cfg.fft_size // 2
+    # [T, V, 2, Bs] -> planes-outer fused [T, 2, V*Bs] (input-sized
+    # transpose, negligible next to the ring/table reads)
+    specs = jnp.swapaxes(rdft_block(blocks_rows, cfg.fft_size), 1, 2)
+    specs = specs.reshape(t_blocks, 2, v * bs)
+    ext2 = state.segments_ir                          # [2, 2N+E, VB]
+    u = state.segments                                # [2, N, VB]
+    q = state.current
+    m0 = _lane0_fused(v * bs, bs)
+
+    convs = []
+    for t in range(t_blocks):
+        wt = jax.lax.dynamic_slice_in_dim(ext2, q + t, n, axis=1)
+        acc = _pmul_sum_fused(wt, u, m0)
+        for s in range(t + 1):
+            row_s = jnp.mod(n - q - s, n)
+            u_old = jax.lax.dynamic_slice_in_dim(u, row_s, 1, axis=1)[:, 0]
+            acc = acc + _pmul_fused(specs[s] - u_old, ext2[:, t - s], m0)
+        convs.append(acc)
+    convs = jnp.stack(convs)                          # [T, 2, VB]
+
+    for s in range(t_blocks):
+        row_s = jnp.mod(n - q - s, n)
+        u = jax.lax.dynamic_update_slice_in_dim(
+            u, specs[s][:, None], row_s, axis=1
+        )
+    pre = convs[-1] - _pmul_fused(specs[-1], ext2[:, 0], m0)
+
+    outs = irdft_block(
+        jnp.swapaxes(convs.reshape(t_blocks, 2, v, bs), 1, 2), cfg.fft_size
+    )                                                 # [T, V, 2B]
+    tails = jnp.concatenate([state.overlap[None], outs[:-1, :, b:]], axis=0)
+    y = outs[:, :, :b] + tails                        # [T, V, B]
+    return state._replace(
+        segments=u, pre_multiplied=pre,
+        current=jnp.mod(q + t_blocks, n).astype(jnp.int32),
+        overlap=outs[-1, :, b:],
+    ), y
+
+
 def farm2_stream(cfg: two_stage.TwoStageConfig, state: two_stage.TwoStageState,
                  blocks: jnp.ndarray) -> Tuple[two_stage.TwoStageState, jnp.ndarray]:
     """Stream ``blocks [T, V, B]`` -> ``[T, V, B]``; requires period-aligned
     state (fresh or after period-multiple streams) and ``T % period == 0``.
 
-    Voices run in lockstep (same T every call), so all per-voice scalars
-    (ring heads, period counters) vmap unbatched — ring slices stay
-    shared-index operations instead of per-voice gathers."""
+    The three stages of the aligned decomposition
+    (:func:`models.two_stage.process_stream_aligned`:
+    ``y = head(x) + delay_1(tail0(x)) + delay_2(tail(x))``) run with the
+    voice axis placed per stage — head/tail0 vmapped voice-leading, the
+    big tail batched fused-voice — see the module docstring for why.
+    """
+    if cfg.tail is None:
+        # short-IR farm (<= 2 tail blocks): no big tail to batch specially
+        per_voice = functools.partial(
+            two_stage.process_stream_aligned, cfg,
+            small_stream=uniform.stream_conv_unguarded,
+        )
+        vx = jnp.swapaxes(blocks, 0, 1)
+        st2, ys = farm.lockstep_vmap_stream(per_voice, state, vx)
+        return st2, jnp.swapaxes(ys, 0, 1)
+
+    b = cfg.head_block
+    tb = cfg.tail_block
+    p = cfg.period
+    t, v = blocks.shape[0], blocks.shape[1]
+    q = t // p
+    assert q * p == t, "farm2_stream requires T % period == 0"
+
     vx = jnp.swapaxes(blocks, 0, 1)  # [V, T, B]
-    per_voice = functools.partial(
-        two_stage.process_stream_aligned, cfg,
-        small_stream=uniform.stream_conv_unguarded,
-        big_stream=uniform.stream_corr_rebased_unguarded,
+
+    head_state, y = farm.lockstep_vmap_stream(
+        functools.partial(uniform.stream_conv_unguarded, cfg.head),
+        state.head, vx,
+    )                                                   # y [V, T, B]
+
+    # tail0: one-period delay (precalc0 holds the previous period's output)
+    tail0_state, out0 = farm.lockstep_vmap_stream(
+        functools.partial(uniform.stream_conv_unguarded, cfg.tail0),
+        state.tail0, vx,
     )
-    st2, ys = farm.lockstep_vmap_stream(per_voice, state, vx)
-    return st2, jnp.swapaxes(ys, 0, 1)
+    per0 = out0.reshape(v, q, tb)
+    contrib0 = jnp.concatenate([state.tail_precalc0[:, None], per0[:, :-1]], axis=1)
+    y = y + contrib0.reshape(v, t, b)
+    new_precalc0 = per0[:, -1]
+    new_output0 = per0[:, -2] if q >= 2 else state.tail_precalc0
+
+    # big tail: two-period delay, fused-voice phased correlation core
+    big_rows = jnp.swapaxes(vx.reshape(v, q, tb), 0, 1)  # [q, V, tb]
+    tail_state, out_t = _tail_corr_phased_fused(cfg.tail, state.tail, big_rows)
+    out_tv = jnp.swapaxes(out_t, 0, 1)                   # [V, q, tb]
+    heads_ = [state.tail_precalc[:, None], state.tail_output[:, None]]
+    contrib = jnp.concatenate(heads_ + [out_tv[:, :-2]], axis=1)[:, :q]
+    y = y + contrib.reshape(v, t, b)
+    new_output = out_tv[:, -1]
+    new_precalc = out_tv[:, -2] if q >= 2 else state.tail_output
+
+    st2 = two_stage.TwoStageState(
+        head=head_state,
+        tail0=tail0_state,
+        tail=tail_state,
+        tail_output0=new_output0,
+        tail_precalc0=new_precalc0,
+        tail_output=new_output,
+        tail_precalc=new_precalc,
+        tail_input=vx[:, (q - 1) * p:].reshape(v, tb),
+        tail_fill=jnp.zeros((v,), jnp.int32),
+        precalc_pos=jnp.zeros((v,), jnp.int32),
+    )
+    return st2, jnp.swapaxes(y, 0, 1)
+
+
+def farm2_shard(mesh, state: two_stage.TwoStageState) -> two_stage.TwoStageState:
+    """Place a farm2 state over a ``('dp',)`` mesh: voice axis 0 for the
+    head-side leaves, the fused ``V*B`` axis for the big tail leaves
+    (voice-chunked when ``V`` divides by the mesh size), replicated
+    lockstep scalars."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    def put(leaf, spec):
+        return jax.device_put(leaf, NamedSharding(mesh, spec))
+
+    def head_side(st):
+        return jax.tree.map(
+            lambda l: put(l, P("dp") if l.ndim >= 1 else P()), st
+        )
+
+    tail = state.tail
+    tail = uniform.UniformState(
+        segments=put(tail.segments, P(None, None, "dp")),
+        segments_ir=put(tail.segments_ir, P(None, None, "dp")),
+        overlap=put(tail.overlap, P("dp")),
+        input_buffer=put(tail.input_buffer, P("dp")),
+        pre_multiplied=put(tail.pre_multiplied, P(None, "dp")),
+        current=put(tail.current, P()),
+        input_fill=put(tail.input_fill, P()),
+        active_segs=put(tail.active_segs, P()),
+    )
+    return state._replace(
+        head=head_side(state.head),
+        tail0=head_side(state.tail0),
+        tail=tail,
+        tail_output0=put(state.tail_output0, P("dp")),
+        tail_precalc0=put(state.tail_precalc0, P("dp")),
+        tail_output=put(state.tail_output, P("dp")),
+        tail_precalc=put(state.tail_precalc, P("dp")),
+        tail_input=put(state.tail_input, P("dp")),
+        tail_fill=put(state.tail_fill, P("dp")),
+        precalc_pos=put(state.precalc_pos, P("dp")),
+    )

@@ -178,6 +178,77 @@ def test_two_stage_farm_matches_per_voice():
         )
 
 
+def test_farm2_sharded_matches_unsharded():
+    """farm2_shard places head-side leaves voice-axis-0 and the big-tail
+    rows-leading leaves voice-axis-2 over a ('dp',) mesh; the jitted stream
+    on the sharded state must match the unsharded farm (zero steady-state
+    collectives — pure dp over the voice axis)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from fft_convolution_tpu.parallel import farm2
+
+    rng = np.random.default_rng(26)
+    v, b = 8, 64
+    ir_len = 9000
+    irs = rng.standard_normal((v, ir_len)).astype(np.float32) * 0.05
+    cfg, state = farm2.farm2_init(irs, b, ir_len)
+    assert cfg.tail is not None  # the rows-leading tail path must be live
+    t = 2 * cfg.period
+    x = rng.standard_normal((t, v, b)).astype(np.float32)
+
+    run = jax.jit(functools.partial(farm2.farm2_stream, cfg))
+    state_ref = jax.tree.map(jnp.copy, state)
+    state_ref, y_ref1 = run(state_ref, jnp.asarray(x))
+    _, y_ref2 = run(state_ref, jnp.asarray(x))
+
+    mesh = farm.make_farm_mesh()
+    assert mesh.devices.size == 8
+    sstate = farm2.farm2_shard(mesh, state)
+    xs = jax.device_put(jnp.asarray(x), NamedSharding(mesh, P(None, "dp")))
+    sstate, y1 = run(sstate, xs)
+    _, y2 = run(sstate, xs)
+
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y_ref1), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(y2), np.asarray(y_ref2), atol=1e-5)
+
+
+def test_farm2_update_batched():
+    """Batched farm IR swap at a period boundary: every voice must match a
+    standalone two-stage engine's update_extension (the farm keeps rings
+    clean via full-capacity zero-padding; trailing zero segments are
+    live-but-silent, src/fft_convolver.rs:111-118)."""
+    from fft_convolution_tpu import TwoStageFFTConvolver
+    from fft_convolution_tpu.parallel import farm2
+
+    rng = np.random.default_rng(25)
+    v, b = 3, 64
+    ir_len = 9000
+    irs = rng.standard_normal((v, ir_len)).astype(np.float32) * 0.05
+    new_irs = rng.standard_normal((v, 5000)).astype(np.float32) * 0.05
+
+    cfg, state = farm2.farm2_init(irs, b, ir_len)
+    t = 2 * cfg.period
+    x = rng.standard_normal((2 * t, v, b)).astype(np.float32)
+
+    run = jax.jit(functools.partial(farm2.farm2_stream, cfg))
+    state, y1 = run(state, jnp.asarray(x[:t]))
+    state = jax.jit(functools.partial(farm2.farm2_update, cfg))(
+        state, jnp.asarray(new_irs)
+    )
+    state, y2 = run(state, jnp.asarray(x[t:]))
+    y = np.concatenate([np.asarray(y1), np.asarray(y2)], axis=0)
+
+    for voice in range(v):
+        c = TwoStageFFTConvolver(irs[voice], b, ir_len)
+        r1 = c.process(x[:t, voice, :].reshape(-1))
+        c.update_extension(new_irs[voice])
+        r2 = c.process(x[t:, voice, :].reshape(-1))
+        np.testing.assert_allclose(
+            y[:, voice, :].reshape(-1), np.concatenate([r1, r2]), atol=1e-5,
+            err_msg=f"voice {voice}",
+        )
+
+
 def test_sharded_update_matches_uniform_mid_stream():
     """Sharded update() mid-stream (shrink + transient, src/fft_convolver.rs:
     174-213): outputs must match the single-device engine's update at 1e-5,

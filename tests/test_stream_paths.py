@@ -110,6 +110,41 @@ def test_two_stage_wrapper_uses_aligned_path():
     np.testing.assert_allclose(y_a, y_b, atol=1e-5)
 
 
+def test_stream_corr_phased_matches_sequential():
+    """The roll-free phased corr core (doubled periodic IR table, phase in
+    ``current``) must match the sequential scan across calls with varying
+    lengths — the phase walks every residue mod seg_count, covering the
+    ``n - q - s == n`` and wraparound edges."""
+    rng = np.random.default_rng(61)
+    b = 64
+    n_segs = 5
+    ir = rng.standard_normal(b * n_segs).astype(np.float32) * 0.1
+    cfg, state = uniform.init(ir, b, len(ir))
+    assert cfg.seg_count == n_segs
+
+    ext_idx = jnp.arange(n_segs + uniform.CORR_EXTRA_ROWS) % n_segs
+    ph_state = state._replace(
+        segments_ir=jnp.concatenate(
+            [state.segments_ir, jnp.take(state.segments_ir, ext_idx, axis=0)],
+            axis=0,
+        )
+    )
+    run_ph = jax.jit(functools.partial(uniform.stream_corr_phased_unguarded, cfg))
+    run_ref = jax.jit(functools.partial(uniform.process_stream_scan, cfg))
+
+    for call, t in enumerate([2, 3, 1, 5, 4, 2, 2]):
+        x = rng.standard_normal((t, b)).astype(np.float32)
+        ph_state, y = run_ph(ph_state, jnp.asarray(x))
+        state, y_ref = run_ref(state, jnp.asarray(x))
+        np.testing.assert_allclose(
+            np.asarray(y), np.asarray(y_ref), atol=1e-5,
+            err_msg=f"call {call} (T={t})",
+        )
+        np.testing.assert_allclose(
+            np.asarray(ph_state.overlap), np.asarray(state.overlap),
+            atol=1e-5)
+
+
 def test_stream_corr_rebased_matches_sequential():
     """The correlation tail core (rebased-ring state convention: extended IR
     table, current pinned at 0) must match the sequential block scan's
