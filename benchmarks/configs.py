@@ -203,7 +203,9 @@ def farm2_bytes_per_voice(block: int, ir_len: int, t_blocks: int) -> int:
 
     n_h = -(-min(ir_len, tb) // block)
     n_t0 = -(-min(max(ir_len - tb, 0), tb) // block)
-    n_t = -(-max(ir_len - 2 * tb, 0) // tb)
+    # big tail padded to a multiple of 8 segments (farm2_init, Pallas MAC
+    # sublane alignment)
+    n_t = -(- -(-max(ir_len - 2 * tb, 0) // tb) // 8) * 8
     state = (
         stage(n_h, block) + stage(n_t0, block)
         + stage(n_t, tb, extra_ir_rows=n_t + uniform.CORR_EXTRA_ROWS)
@@ -244,7 +246,12 @@ def config5_reverb_farm(voices: int = 1024, ir_seconds: int = 60):
     cfg, state = farm2.farm2_init(irs, block, ir_seconds * SR)
     t = 2 * cfg.period
     x = jnp.asarray(rng.standard_normal((t, voices, block)).astype(np.float32))
-    wall = _chain_time(functools.partial(farm2.farm2_stream, cfg), state, x, chain=2)
+    # the single-pass Pallas tail MAC is TPU-only (jnp core elsewhere)
+    mac = "pallas" if jax.devices()[0].platform == "tpu" else "jnp"
+    wall = _chain_time(
+        functools.partial(farm2.farm2_stream, cfg, tail_mac=mac),
+        state, x, chain=2,
+    )
     audio = t * block / SR
     xrt = audio / wall
     return {"voices": voices, "xrt_per_voice": xrt,

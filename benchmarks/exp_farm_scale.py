@@ -26,11 +26,46 @@ else:
 
 import jax.numpy as jnp
 
-from benchmarks.exp_farm_tail import slope_time
 from fft_convolution_tpu.models import uniform
 from fft_convolution_tpu.parallel import farm, farm2
 
 SR = 48000
+
+
+def slope_time_threaded(run, state, x, c1=1, c2=3, reps=2):
+    """Slope timing that THREADS the donated state through the runs instead
+    of copying it first — multi-GB farm states would otherwise exist twice
+    and OOM (timing does not need a pristine start state)."""
+    import time
+
+    def build(length):
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def chained(st, xs):
+            def body(s, _):
+                s2, y = run(s, xs)
+                return s2, jnp.sum(y)
+
+            sf, sums = jax.lax.scan(body, st, None, length=length)
+            return sf, jnp.sum(sums)
+
+        return chained
+
+    r1, r2 = build(c1), build(c2)
+
+    def timed(r, st):
+        st, v = r(st, x)
+        _ = float(v)
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            st, v = r(st, x)
+            _ = float(v)
+            best = min(best, time.perf_counter() - t0)
+        return st, best
+
+    state, t1 = timed(r1, state)
+    state, t2 = timed(r2, state)
+    return max((t2 - t1) / (c2 - c1), 1e-9), state
 
 
 def main():
@@ -53,7 +88,14 @@ def main():
         vx.reshape(voices, t // p, cfg.tail_block), 0, 1
     )  # [q, V, tb]
 
-    wall = slope_time(
+    mac = "pallas" if "--pallas" in sys.argv else "jnp"
+    wall, tail_st = slope_time_threaded(
+        functools.partial(farm2._tail_corr_phased_fused, cfg.tail, mac=mac),
+        state.tail, big_rows,
+    )
+    print(f"V={voices:4d} big tail ({mac}): {wall*1e3:8.2f} ms", flush=True)
+
+    wall, head_st = slope_time_threaded(
         lambda st, xs: farm.lockstep_vmap_stream(
             functools.partial(uniform.stream_conv_unguarded, cfg.head), st, xs
         ),
@@ -61,13 +103,12 @@ def main():
     )
     print(f"V={voices:4d} head:       {wall*1e3:8.2f} ms", flush=True)
 
-    wall = slope_time(
-        functools.partial(farm2._tail_corr_phased_fused, cfg.tail),
-        state.tail, big_rows,
+    # the stage slopes donated their pieces; reassemble a structurally valid
+    # full state (any ring phase is fine — both cores are phase-agnostic)
+    state = state._replace(tail=tail_st, head=head_st)
+    wall, _ = slope_time_threaded(
+        functools.partial(farm2.farm2_stream, cfg, tail_mac=mac), state, x
     )
-    print(f"V={voices:4d} big tail:   {wall*1e3:8.2f} ms", flush=True)
-
-    wall = slope_time(functools.partial(farm2.farm2_stream, cfg), state, x)
     print(
         f"V={voices:4d} full farm2: {wall*1e3:8.2f} ms  "
         f"xrt/voice={audio/wall:8.1f} rt_voices={audio/wall*voices:8.0f}",

@@ -7,10 +7,14 @@ instead of the uniform farm's ~45L bytes/voice.
 
 Stage layout is chosen per axis order the hardware wants:
 
-* **head / tail0** (small blocks, many rows of tiny spectra): vmapped over
-  a VOICE-LEADING ``[V, ...]`` state with all per-voice scalars passed
-  unbatched (``farm.lockstep_vmap_stream``) — batching rides the MXU's
-  batch dimension.
+* **head / tail0** (small blocks, many rows of tiny spectra):
+  VOICE-LEADING ``[V, ...]`` states run through ONE fused conv stream
+  (:func:`_heads_fused`): with the big tail present both stages see the
+  same input at the same block size and segment count, so they share a
+  single ring history and a single forward/inverse time-DFT pipeline —
+  only the kernel spectra differ (stacked on a leading stage axis).
+  The tail0 state's ring leaf is DEAD inside farm2 (head's ring is the
+  shared source of truth — see :func:`_heads_fused`).
 * **big tail** (few steps, huge rows): a planes-outer FUSED-voice
   ``[2, rows, V*B]`` state driven by the roll-free phased correlation
   core (:func:`_tail_corr_phased_fused`).  The fused trailing axis is the
@@ -23,7 +27,10 @@ Stage layout is chosen per axis order the hardware wants:
   removes the axis XLA wants to move (the fused axis rides lanes densely
   in the default layout), the plane pair outermost makes ``a[0]/a[1]``
   contiguous halves instead of strided slices, and the phase-window
-  dynamic slice cuts the rows axis, untouched by tiling.
+  dynamic slice cuts the rows axis, untouched by tiling.  On TPU the
+  HBM-bound base sums route through the single-pass Pallas MAC kernel
+  (``farm2_stream(..., tail_mac="pallas")``, ops/pallas_farm_mac.py);
+  the jnp core is the portable reference.
 
 All stage cores are *unguarded* (clean full rings are a farm invariant:
 this farm exposes init + stream + batched full-capacity update, never a
@@ -45,8 +52,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..models import two_stage, uniform
-
-from ..ops.fft import ir_to_spectra, irdft_block, rdft_block
+from ..ops.cpx import pmul_sum
+from ..ops.fft import causal_conv_time, ir_to_spectra, irdft_block, rdft_block
 from . import farm
 
 
@@ -54,6 +61,59 @@ def _fuse_po(a: jnp.ndarray) -> jnp.ndarray:
     """``[V, rows, 2, B] -> [2, rows, V*B]`` (planes-outer fused-voice)."""
     v, rows, _, b = a.shape
     return jnp.transpose(a, (2, 1, 0, 3)).reshape(2, rows, v * b)
+
+
+def _init_tail_fused_direct(padded_tail: np.ndarray, tb: int,
+                            tail_cfg: uniform.UniformConfig,
+                            chunk: int = 8) -> uniform.UniformState:
+    """Build the planes-outer fused-voice tail state STRAIGHT from the IR
+    slice, in voice chunks written in place into the final doubled table
+    (donated ``dynamic_update_slice``).
+
+    The two-hop route (``farm.farm_init`` then :func:`_tail_fused_state`)
+    materializes the voice-leading spectra table AND the padded IR slice
+    as multi-GB device intermediates; at production voice counts the relay
+    backend demonstrably does not reclaim them promptly — a single tail
+    call right after that init ran out of HBM at 128 voices.  Direct
+    construction peaks at table + ring + one ~0.7 GB chunk transient.
+    """
+    v, lt = padded_tail.shape
+    n_t = tail_cfg.seg_count
+    e = uniform.CORR_EXTRA_ROWS
+    rows = 2 * n_t + e
+    vb = v * tb
+    ext_idx = jnp.arange(rows) % n_t
+
+    pad_to = n_t * tb - lt
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def write(tab, chunk_ir, c0):
+        spec = jax.lax.map(
+            lambda r: ir_to_spectra(jnp.pad(r, (0, pad_to)), tb, n_t),
+            chunk_ir,
+        )                                               # [C, n, 2, B]
+        ext = jnp.take(spec, ext_idx, axis=1)           # [C, rows, 2, B]
+        c = chunk_ir.shape[0]
+        fused = jnp.transpose(ext, (2, 1, 0, 3)).reshape(2, rows, c * tb)
+        return jax.lax.dynamic_update_slice(
+            tab, fused, (0, 0, c0)
+        )
+
+    table = jnp.zeros((2, rows, vb), jnp.float32)
+    for c0 in range(0, v, chunk):
+        piece = np.ascontiguousarray(padded_tail[c0: c0 + chunk])
+        table = write(table, jnp.asarray(piece), jnp.asarray(c0 * tb, jnp.int32))
+
+    return uniform.UniformState(
+        segments=jnp.zeros((2, n_t, vb), jnp.float32),
+        segments_ir=table,
+        overlap=jnp.zeros((v, tb), jnp.float32),
+        input_buffer=jnp.zeros((v, tb), jnp.float32),
+        pre_multiplied=jnp.zeros((2, vb), jnp.float32),
+        current=jnp.zeros((), jnp.int32),
+        input_fill=jnp.zeros((), jnp.int32),
+        active_segs=jnp.full((), n_t, jnp.int32),
+    )
 
 
 @functools.partial(jax.jit, static_argnums=(1,), donate_argnums=(0,))
@@ -121,9 +181,13 @@ def farm2_init(irs, block_size: int, max_response_length: int
         tail0_state = jax.tree.map(lambda l: jnp.broadcast_to(l, (v,) + l.shape), t0s)
 
     if max_response_length > 2 * tb:
-        t_len = max_response_length - 2 * tb
-        tail_cfg, tail_state_v = farm.farm_init(padded[:, 2 * tb :], tb, t_len)
-        tail_state = _tail_fused_state(tail_state_v, tail_cfg.seg_count)
+        # pad the big tail to a multiple of 8 segments: trailing zero
+        # segments are live-but-silent exactly like init's zero padding
+        # (src/fft_convolver.rs:111-118), and the Pallas tail MAC's DMA /
+        # load slices then stay 8-sublane-aligned (a Mosaic requirement)
+        t_len = -(-(max_response_length - 2 * tb) // (8 * tb)) * (8 * tb)
+        tail_cfg = uniform.make_config(tb, t_len)
+        tail_state = _init_tail_fused_direct(padded[:, 2 * tb :], tb, tail_cfg)
     else:
         tail_cfg = None
         _, ts = uniform.empty(tb)
@@ -227,31 +291,25 @@ def _pmul_sum_fused(a: jnp.ndarray, b: jnp.ndarray, m0: jnp.ndarray) -> jnp.ndar
     """Packed-product sum over the rows axis in the planes-outer fused
     layout: ``a, b`` are ``[2, N, VB]``; returns ``[2, VB]``.  Same
     DC/Nyquist lane-0 packing as :func:`ops.cpx.pmul_sum`, with the mask
-    repeated per voice (``m0 = _lane0_fused``)."""
-    ar, ai = a[0], a[1]
-    br, bi = b[0], b[1]
-    rr = jnp.sum(ar * br, axis=0)
-    ii = jnp.sum(ai * bi, axis=0)
-    ri = jnp.sum(ar * bi, axis=0)
-    ir_ = jnp.sum(ai * br, axis=0)
-    re = rr - ii * (1.0 - m0)
-    im = (ri + ir_) * (1.0 - m0) + ii * m0
-    return jnp.stack([re, im], axis=0)
+    repeated per voice (``m0 = _lane0_fused``).
 
-
-def _pmul_fused(a: jnp.ndarray, b: jnp.ndarray, m0: jnp.ndarray) -> jnp.ndarray:
-    """Packed product in the planes-outer fused layout: ``[2, VB]``."""
+    The per-lane mask is row-independent, so it distributes over the row
+    sum: combining terms BEFORE reducing leaves two reductions over two
+    derived arrays (instead of four), which XLA fuses into a single pass
+    over the ring and window — the MAC is HBM-bound and every extra pass
+    over the multi-GB operands is wall time."""
     ar, ai = a[0], a[1]
     br, bi = b[0], b[1]
     cross = ai * bi
-    re = ar * br - cross * (1.0 - m0)
-    im = (ar * bi + ai * br) * (1.0 - m0) + cross * m0
+    re = jnp.sum(ar * br - cross * (1.0 - m0), axis=0)
+    im = jnp.sum((ar * bi + ai * br) * (1.0 - m0) + cross * m0, axis=0)
     return jnp.stack([re, im], axis=0)
 
 
 def _tail_corr_phased_fused(cfg: uniform.UniformConfig,
                             state: uniform.UniformState,
-                            blocks_rows: jnp.ndarray
+                            blocks_rows: jnp.ndarray,
+                            mac: str = "jnp",
                             ) -> Tuple[uniform.UniformState, jnp.ndarray]:
     """Planes-outer fused-voice batched phased correlation core — the farm
     big-tail engine.  Index math identical to
@@ -283,15 +341,56 @@ def _tail_corr_phased_fused(cfg: uniform.UniformConfig,
     q = state.current
     m0 = _lane0_fused(v * bs, bs)
 
+    # base sums acc[t] = sum_x U[x] (*) ext2[q+t+x] — the HBM-bound bulk.
+    # mac="pallas"/"pallas_interpret" routes it through the single-pass
+    # kernel (ops/pallas_farm_mac.py: ring + window read ONCE for all T
+    # steps); mac="jnp" is the portable reference formulation.
+    if mac in ("pallas", "pallas_interpret"):
+        from ..ops.pallas_farm_mac import phased_mac
+
+        base = phased_mac(u, ext2, q, t_blocks, bs,
+                          interpret=(mac == "pallas_interpret"))
+    else:
+        # per-step dynamic windows: XLA fuses each slice into its consumer
+        # (a shared materialized window was measured to cost a full-window
+        # HLO temp PLUS a relayout copy of it — 5.6 GB at 131 voices)
+        base = jnp.stack([
+            _pmul_sum_fused(
+                jax.lax.dynamic_slice_in_dim(ext2, q + t, n, axis=1), u, m0
+            )
+            for t in range(t_blocks)
+        ])
+
+    # corrections, planes-separate: every read of the big arrays here is a
+    # single (plane, row) 1-D extraction — contiguous in the default
+    # layout, so no layout preference propagates back.  A [2, VB]-shaped
+    # ``ext2[:, t-s]`` slice made XLA relayout-copy the ENTIRE table into
+    # a plane-on-sublanes layout (a [2, 192, VB] HLO temp, ~8 ms of HBM
+    # traffic at 128 voices), and pre-slicing did not help (XLA propagates
+    # layout through slices).
+    vb = v * bs
+
+    def row1(a, plane, r):
+        """a[plane, r] as a 1-D [VB] read (r may be traced)."""
+        return jax.lax.dynamic_slice(
+            a, (plane, r, 0) if isinstance(r, int) else
+               (jnp.asarray(plane, jnp.int32), r, jnp.asarray(0, jnp.int32)),
+            (1, 1, vb),
+        ).reshape(vb)
+
     convs = []
     for t in range(t_blocks):
-        wt = jax.lax.dynamic_slice_in_dim(ext2, q + t, n, axis=1)
-        acc = _pmul_sum_fused(wt, u, m0)
+        acc_re, acc_im = base[t, 0], base[t, 1]
         for s in range(t + 1):
             row_s = jnp.mod(n - q - s, n)
-            u_old = jax.lax.dynamic_slice_in_dim(u, row_s, 1, axis=1)[:, 0]
-            acc = acc + _pmul_fused(specs[s] - u_old, ext2[:, t - s], m0)
-        convs.append(acc)
+            dre = specs[s, 0] - row1(u, 0, row_s)
+            dim = specs[s, 1] - row1(u, 1, row_s)
+            kr = row1(ext2, 0, t - s)
+            ki = row1(ext2, 1, t - s)
+            cross = dim * ki
+            acc_re = acc_re + dre * kr - cross * (1.0 - m0)
+            acc_im = acc_im + (dre * ki + dim * kr) * (1.0 - m0) + cross * m0
+        convs.append(jnp.stack([acc_re, acc_im]))
     convs = jnp.stack(convs)                          # [T, 2, VB]
 
     for s in range(t_blocks):
@@ -299,7 +398,13 @@ def _tail_corr_phased_fused(cfg: uniform.UniformConfig,
         u = jax.lax.dynamic_update_slice_in_dim(
             u, specs[s][:, None], row_s, axis=1
         )
-    pre = convs[-1] - _pmul_fused(specs[-1], ext2[:, 0], m0)
+    k0r, k0i = row1(ext2, 0, 0), row1(ext2, 1, 0)
+    sr, si = specs[-1, 0], specs[-1, 1]
+    cross0 = si * k0i
+    pre = convs[-1] - jnp.stack([
+        sr * k0r - cross0 * (1.0 - m0),
+        (sr * k0i + si * k0r) * (1.0 - m0) + cross0 * m0,
+    ])
 
     outs = irdft_block(
         jnp.swapaxes(convs.reshape(t_blocks, 2, v, bs), 1, 2), cfg.fft_size
@@ -313,8 +418,81 @@ def _tail_corr_phased_fused(cfg: uniform.UniformConfig,
     ), y
 
 
+def _heads_fused(cfg: two_stage.TwoStageConfig,
+                 st_h: uniform.UniformState, st_t0: uniform.UniformState,
+                 vx: jnp.ndarray):
+    """Fused head+tail0 farm stream: with the big tail present both stages
+    convolve the SAME input at the same block size and segment count
+    (``head_len == t0_len == tail_block``), so one ring history and ONE
+    forward/inverse time-DFT pipeline serve both — only the kernel spectra
+    (stacked on a leading stage axis, broadcast through
+    :func:`ops.fft.causal_conv_time`), accumulators, and OLA tails differ.
+    Halves the head-side DFT work of two separate streams.
+
+    Farm invariant consumed: full clean lockstep rings.  Farm invariant
+    PRODUCED: only the head state's ring is maintained — ``st_t0``'s
+    ``segments``/``current`` leaves are retained untouched (DEAD within
+    farm2; writing an identical second ring would either duplicate the
+    roll or alias two output buffers, which donation rejects).
+
+    Returns ``(st_h', st_t0', y_head [V,T,B], y_tail0 [V,T,B])``.
+    """
+    ucfg = cfg.head
+    n = ucfg.seg_count
+    b = ucfg.block_size
+    assert cfg.tail0 is not None and cfg.tail0.seg_count == n
+    v, t = vx.shape[0], vx.shape[1]
+    current = st_h.current[0]
+
+    specs = rdft_block(vx, ucfg.fft_size)                    # [V, T, 2, B]
+    if n > 1:
+        seg2 = jnp.concatenate([st_h.segments, st_h.segments], axis=1)
+        window = jax.lax.dynamic_slice(
+            seg2, (0, current + 1, 0, 0), (v, n - 1, 2, b)
+        )
+        ext = jnp.concatenate([jnp.flip(window, axis=1), specs], axis=1)
+    else:
+        ext = specs
+
+    kern2 = jnp.stack([st_h.segments_ir, st_t0.segments_ir])  # [2, V, n, 2, B]
+    convs2 = causal_conv_time(ext, kern2, t)                  # [2, V, T, 2, B]
+    outs = irdft_block(convs2, ucfg.fft_size)                 # [2, V, T, 2B]
+
+    def ola(outs_s, st):
+        tails = jnp.concatenate(
+            [st.overlap[:, None], outs_s[:, :-1, b:]], axis=1
+        )
+        return outs_s[:, :, :b] + tails, outs_s[:, -1, b:]
+
+    y_h, ovl_h = ola(outs[0], st_h)
+    y_t0, ovl_t0 = ola(outs[1], st_t0)
+
+    # shared ring rebuild (full-ring roll fast path, lockstep scalars) —
+    # mirrors models.uniform._stream_conv.rebuild_roll, batched over voices
+    current_f = jnp.mod(current - t, n).astype(jnp.int32)
+    byd = jnp.flip(
+        jax.lax.slice_in_dim(ext, t - 1, t - 1 + n, axis=1), axis=1
+    )
+    segments = jnp.roll(byd, current_f + 1, axis=1)
+    i = jnp.arange(n, dtype=jnp.int32)
+    pre_h = pmul_sum(st_h.segments_ir, byd, i >= 1)           # [V, 2, B]
+    pre_t0 = pmul_sum(st_t0.segments_ir, byd, i >= 1)
+
+    currents = jnp.broadcast_to(current_f, (v,))
+    st_h2 = st_h._replace(
+        segments=segments, current=currents,
+        pre_multiplied=pre_h, overlap=ovl_h,
+    )
+    st_t02 = st_t0._replace(
+        current=currents, pre_multiplied=pre_t0, overlap=ovl_t0,
+    )
+    return st_h2, st_t02, y_h, y_t0
+
+
 def farm2_stream(cfg: two_stage.TwoStageConfig, state: two_stage.TwoStageState,
-                 blocks: jnp.ndarray) -> Tuple[two_stage.TwoStageState, jnp.ndarray]:
+                 blocks: jnp.ndarray,
+                 tail_mac: str = "jnp",
+                 ) -> Tuple[two_stage.TwoStageState, jnp.ndarray]:
     """Stream ``blocks [T, V, B]`` -> ``[T, V, B]``; requires period-aligned
     state (fresh or after period-multiple streams) and ``T % period == 0``.
 
@@ -343,16 +521,12 @@ def farm2_stream(cfg: two_stage.TwoStageConfig, state: two_stage.TwoStageState,
 
     vx = jnp.swapaxes(blocks, 0, 1)  # [V, T, B]
 
-    head_state, y = farm.lockstep_vmap_stream(
-        functools.partial(uniform.stream_conv_unguarded, cfg.head),
-        state.head, vx,
+    # head + tail0 share one ring and one time-DFT pipeline
+    head_state, tail0_state, y, out0 = _heads_fused(
+        cfg, state.head, state.tail0, vx
     )                                                   # y [V, T, B]
 
     # tail0: one-period delay (precalc0 holds the previous period's output)
-    tail0_state, out0 = farm.lockstep_vmap_stream(
-        functools.partial(uniform.stream_conv_unguarded, cfg.tail0),
-        state.tail0, vx,
-    )
     per0 = out0.reshape(v, q, tb)
     contrib0 = jnp.concatenate([state.tail_precalc0[:, None], per0[:, :-1]], axis=1)
     y = y + contrib0.reshape(v, t, b)
@@ -360,8 +534,11 @@ def farm2_stream(cfg: two_stage.TwoStageConfig, state: two_stage.TwoStageState,
     new_output0 = per0[:, -2] if q >= 2 else state.tail_precalc0
 
     # big tail: two-period delay, fused-voice phased correlation core
+    # (tail_mac="pallas" for the single-pass TPU MAC kernel)
     big_rows = jnp.swapaxes(vx.reshape(v, q, tb), 0, 1)  # [q, V, tb]
-    tail_state, out_t = _tail_corr_phased_fused(cfg.tail, state.tail, big_rows)
+    tail_state, out_t = _tail_corr_phased_fused(
+        cfg.tail, state.tail, big_rows, mac=tail_mac
+    )
     out_tv = jnp.swapaxes(out_t, 0, 1)                   # [V, q, tb]
     heads_ = [state.tail_precalc[:, None], state.tail_output[:, None]]
     contrib = jnp.concatenate(heads_ + [out_tv[:, :-2]], axis=1)[:, :q]

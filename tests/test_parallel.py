@@ -212,6 +212,35 @@ def test_farm2_sharded_matches_unsharded():
     np.testing.assert_allclose(np.asarray(y2), np.asarray(y_ref2), atol=1e-5)
 
 
+def test_farm2_pallas_tail_mac_matches_jnp():
+    """The single-pass Pallas tail MAC (ops/pallas_farm_mac.py, interpret
+    mode here) must reproduce the jnp phased correlation core across calls
+    (phase walks, DC-lane mask per fused voice)."""
+    from fft_convolution_tpu.parallel import farm2
+
+    rng = np.random.default_rng(27)
+    v, b = 4, 64
+    ir_len = 9000
+    irs = rng.standard_normal((v, ir_len)).astype(np.float32) * 0.05
+    cfg, state = farm2.farm2_init(irs, b, ir_len)
+    assert cfg.tail is not None
+    t = 2 * cfg.period
+
+    run_ref = jax.jit(functools.partial(farm2.farm2_stream, cfg))
+    run_pl = jax.jit(functools.partial(
+        farm2.farm2_stream, cfg, tail_mac="pallas_interpret"
+    ))
+    state_pl = jax.tree.map(jnp.copy, state)
+    for call in range(3):
+        x = rng.standard_normal((t, v, b)).astype(np.float32)
+        state, y_ref = run_ref(state, jnp.asarray(x))
+        state_pl, y_pl = run_pl(state_pl, jnp.asarray(x))
+        np.testing.assert_allclose(
+            np.asarray(y_pl), np.asarray(y_ref), atol=1e-5,
+            err_msg=f"call {call}",
+        )
+
+
 def test_farm2_update_batched():
     """Batched farm IR swap at a period boundary: every voice must match a
     standalone two-stage engine's update_extension (the farm keeps rings
