@@ -175,7 +175,8 @@ def config4_crossfade_morph():
             "morph_update_ms": update_ms}
 
 
-def farm2_bytes_per_voice(block: int, ir_len: int, t_blocks: int) -> int:
+def farm2_bytes_per_voice(block: int, ir_len: int, t_blocks: int,
+                          tail_item: int = 4) -> int:
     """HBM bytes per farm2 voice, derived from the engine shapes instead of
     a hand-measured constant.
 
@@ -196,19 +197,21 @@ def farm2_bytes_per_voice(block: int, ir_len: int, t_blocks: int) -> int:
 
     tb = two_stage.compute_tail_block_size(block, ir_len)
 
-    def stage(n_segs: int, b: int, extra_ir_rows: int = 0) -> int:
-        ring = n_segs * 2 * b * 4
-        ir_tab = (n_segs + extra_ir_rows) * 2 * b * 4
+    def stage(n_segs: int, b: int, extra_ir_rows: int = 0, item: int = 4) -> int:
+        ring = n_segs * 2 * b * item
+        ir_tab = (n_segs + extra_ir_rows) * 2 * b * item
         return ring + ir_tab + 4 * b * 4   # + overlap/input/pre buffers
 
+    sub = 16 if tail_item == 2 else 8
     n_h = -(-min(ir_len, tb) // block)
     n_t0 = -(-min(max(ir_len - tb, 0), tb) // block)
-    # big tail padded to a multiple of 8 segments (farm2_init, Pallas MAC
-    # sublane alignment)
-    n_t = -(- -(-max(ir_len - 2 * tb, 0) // tb) // 8) * 8
+    # big tail padded to a multiple of 8 (f32) / 16 (bf16) segments
+    # (farm2_init, Pallas MAC sublane alignment)
+    n_t = -(- -(-max(ir_len - 2 * tb, 0) // tb) // sub) * sub
     state = (
         stage(n_h, block) + stage(n_t0, block)
-        + stage(n_t, tb, extra_ir_rows=n_t + uniform.CORR_EXTRA_ROWS)
+        + stage(n_t, tb, extra_ir_rows=n_t + uniform.CORR_EXTRA_ROWS,
+                item=tail_item)
         + 5 * tb * 4
     )
     m = next_power_of_two(max(n_h, n_t0) - 1 + t_blocks)
@@ -217,7 +220,8 @@ def farm2_bytes_per_voice(block: int, ir_len: int, t_blocks: int) -> int:
     return int((state + transients) * 1.08)
 
 
-def config5_reverb_farm(voices: int = 1024, ir_seconds: int = 60):
+def config5_reverb_farm(voices: int = 1024, ir_seconds: int = 60,
+                        tail_dtype=None):
     """Batched reverb farm: vmap over ``voices`` channels with distinct long
     IRs on one chip, using the two-stage farm (parallel/farm2.py — the
     production engine for 60 s IRs).  Voice count is sized by the derived
@@ -236,14 +240,17 @@ def config5_reverb_farm(voices: int = 1024, ir_seconds: int = 60):
     # for the input stream, DFT bases, and executable
     hbm = 15.5e9 if jax.devices()[0].platform == "tpu" else 2e9
     ir_len = ir_seconds * SR
+    tail_dtype = tail_dtype if tail_dtype is not None else jnp.float32
+    tail_item = jnp.dtype(tail_dtype).itemsize
     tb = two_stage.compute_tail_block_size(block, ir_len)
     t_blocks = 2 * (tb // block)
-    per_voice = farm2_bytes_per_voice(block, ir_len, t_blocks)
+    per_voice = farm2_bytes_per_voice(block, ir_len, t_blocks, tail_item)
     voices = int(min(voices, max(1, hbm // per_voice)))
 
     rng = np.random.default_rng(4)
     irs = (rng.standard_normal((voices, ir_seconds * SR)) * 0.002).astype(np.float32)
-    cfg, state = farm2.farm2_init(irs, block, ir_seconds * SR)
+    cfg, state = farm2.farm2_init(irs, block, ir_seconds * SR,
+                                  tail_dtype=tail_dtype)
     t = 2 * cfg.period
     x = jnp.asarray(rng.standard_normal((t, voices, block)).astype(np.float32))
     # the single-pass Pallas tail MAC is TPU-only (jnp core elsewhere)
@@ -260,10 +267,20 @@ def config5_reverb_farm(voices: int = 1024, ir_seconds: int = 60):
             "us_per_block_all_voices": wall / t * 1e6}
 
 
+def config5b_reverb_farm_bf16():
+    """Config 5 with the opt-in bf16 tail storage (farm2_init tail_dtype):
+    ~half the per-voice memory and tail traffic at a documented ~1e-3
+    relative tolerance on the tail contribution."""
+    import jax.numpy as jnp
+
+    return config5_reverb_farm(tail_dtype=jnp.bfloat16)
+
+
 ALL = {
     "mono_block128_1s": config1_mono_parity,
     "stereo_block256_5s": config2_stereo,
     "two_stage_30s": config3_two_stage_30s,
     "crossfade_morph": config4_crossfade_morph,
     "reverb_farm": config5_reverb_farm,
+    "reverb_farm_bf16": config5b_reverb_farm_bf16,
 }

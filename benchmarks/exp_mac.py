@@ -28,13 +28,13 @@ from fft_convolution_tpu.parallel import farm2
 SR = 48000
 
 
-def slope(fn, q0, c1=2, c2=10, reps=2):
+def slope(fn, q0, n=88, c1=2, c2=10, reps=2):
     def build(length):
         @jax.jit
         def chained(q, u, ext2):
             def body(qq, _):
                 acc = fn(u, ext2, qq)
-                return (qq + 2) % 88, jnp.sum(acc)
+                return (qq + 2) % n, jnp.sum(acc)
 
             qf, sums = jax.lax.scan(body, q, None, length=length)
             return qf, jnp.sum(sums)
@@ -52,7 +52,8 @@ def main():
 
     rng = np.random.default_rng(4)
     irs = (rng.standard_normal((voices, 60 * SR)) * 0.002).astype(np.float32)
-    cfg, state = farm2.farm2_init(irs, 128, 60 * SR)
+    dt = jnp.bfloat16 if "--bf16" in sys.argv else jnp.float32
+    cfg, state = farm2.farm2_init(irs, 128, 60 * SR, tail_dtype=dt)
     u = state.tail.segments
     ext2 = state.tail.segments_ir
     n = cfg.tail.seg_count
@@ -75,11 +76,11 @@ def main():
         print(f"{label}: {w*1e3:8.2f} ms", flush=True)
         return w
 
-    for lane_block in (2048,):  # 4096+ overflow the VMEM window scratch
+    for lane_block in (None,):  # None = dtype-scaled default
         fn = functools.partial(
             phased_mac, t_blocks=2, b_voice=tb, lane_block=lane_block
         )
-        r1, r2 = slope(lambda u_, e_, q_: fn(u_, e_, q_), 0)
+        r1, r2 = slope(lambda u_, e_, q_: fn(u_, e_, q_), 0, n=n)
         timed_pair(r1, r2, 2, 10, f"mac T=2 step=2 L={lane_block}")
 
     # --- core-overhead decomposition at the same shapes -------------------

@@ -51,13 +51,14 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _window_rows(n: int, t_blocks: int) -> int:
-    """Rows per DMA'd window: the ``N + T - 1`` needed, plus up to 7 lead
-    rows for the aligned start, rounded to the 8-sublane DMA rule."""
-    return -(-(n + t_blocks - 1 + 7) // 8) * 8
+def _window_rows(n: int, t_blocks: int, sub: int) -> int:
+    """Rows per DMA'd window: the ``N + T - 1`` needed, plus up to
+    ``sub - 1`` lead rows for the aligned start, rounded to the sublane
+    DMA tile (8 rows for f32, 16 for bf16)."""
+    return -(-(n + t_blocks - 1 + sub - 1) // sub) * sub
 
 
-def _kernel(n: int, t_blocks: int, b_voice: int, l: int,
+def _kernel(n: int, t_blocks: int, b_voice: int, l: int, sub: int,
             q_ref,                       # SMEM in
             u_ref,                       # VMEM in (pipelined [2, N, L] block)
             ext2_hbm,                    # ANY in (HBM table)
@@ -65,9 +66,9 @@ def _kernel(n: int, t_blocks: int, b_voice: int, l: int,
             wr_buf, wi_buf, sem):        # scratch
     j = pl.program_id(0)
     nj = pl.num_programs(0)
-    rows = _window_rows(n, t_blocks)
+    rows = _window_rows(n, t_blocks, sub)
     q = q_ref[0]
-    q0 = (q // 8) * 8
+    q0 = (q // sub) * sub
     d = q - q0
 
     def window_copy(jj, slot, plane, buf):
@@ -97,16 +98,22 @@ def _kernel(n: int, t_blocks: int, b_voice: int, l: int,
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, l), 1) + j * l
     m0 = (jax.lax.rem(lane, b_voice) == 0).astype(jnp.float32)
 
-    # Mosaic only proves alignment for 8-multiple sublane offsets, so the
-    # residue shift ``d`` cannot appear in a load offset: load the whole
-    # (aligned) window and rotate it up by ``d`` — pltpu.roll takes a
-    # dynamic shift — leaving per-step views as STATIC sub-slices.
+    # Mosaic only proves alignment for tile-multiple sublane offsets, so
+    # the residue shift ``d`` cannot appear in a load offset: load the
+    # whole (aligned) window and rotate it up by ``d`` — pltpu.roll takes
+    # a dynamic shift — leaving per-step views as STATIC sub-slices.
+    # The rotate is 32-bit-only in Mosaic: cast AFTER the (possibly bf16)
+    # load, before the roll — HBM/VMEM traffic stays at storage width.
     shift = rows - d  # == roll by -d, kept non-negative
-    w_re = pltpu.roll(wr_buf[pl.ds(slot * rows, rows), :], shift, axis=0)
-    w_im = pltpu.roll(wi_buf[pl.ds(slot * rows, rows), :], shift, axis=0)
+    w_re = pltpu.roll(
+        wr_buf[pl.ds(slot * rows, rows), :].astype(jnp.float32), shift, axis=0
+    )
+    w_im = pltpu.roll(
+        wi_buf[pl.ds(slot * rows, rows), :].astype(jnp.float32), shift, axis=0
+    )
 
-    ur = u_ref[0]
-    ui = u_ref[1]
+    ur = u_ref[0].astype(jnp.float32)
+    ui = u_ref[1].astype(jnp.float32)
     for t in range(t_blocks):
         wr = jax.lax.slice_in_dim(w_re, t, t + n, axis=0)
         wi = jax.lax.slice_in_dim(w_im, t, t + n, axis=0)
@@ -120,10 +127,12 @@ def _kernel(n: int, t_blocks: int, b_voice: int, l: int,
 
 @functools.lru_cache(maxsize=None)
 def _build_call(n: int, rows_total: int, vb: int, t_blocks: int,
-                b_voice: int, l: int, interpret: bool):
-    kernel = functools.partial(_kernel, n, t_blocks, b_voice, l)
+                b_voice: int, l: int, dtype_name: str, interpret: bool):
+    dtype = jnp.dtype(dtype_name)
+    sub = 16 if dtype.itemsize == 2 else 8
+    kernel = functools.partial(_kernel, n, t_blocks, b_voice, l, sub)
     grid = (vb // l,)
-    rows = _window_rows(n, t_blocks)
+    rows = _window_rows(n, t_blocks, sub)
     return pl.pallas_call(
         kernel,
         grid=grid,
@@ -136,8 +145,8 @@ def _build_call(n: int, rows_total: int, vb: int, t_blocks: int,
         out_specs=pl.BlockSpec((t_blocks, 2, l), lambda j: (0, 0, j)),
         scratch_shapes=[
             # double-buffered per-plane windows, slot folded into rows
-            pltpu.VMEM((2 * rows, l), jnp.float32),               # re
-            pltpu.VMEM((2 * rows, l), jnp.float32),               # im
+            pltpu.VMEM((2 * rows, l), dtype),                     # re
+            pltpu.VMEM((2 * rows, l), dtype),                     # im
             pltpu.SemaphoreType.DMA((2, 2)),                      # [slot, plane]
         ],
         interpret=interpret,
@@ -148,7 +157,7 @@ def _build_call(n: int, rows_total: int, vb: int, t_blocks: int,
 
 
 def phased_mac(u: jnp.ndarray, ext2: jnp.ndarray, q: jnp.ndarray,
-               t_blocks: int, b_voice: int, lane_block: int = 2048,
+               t_blocks: int, b_voice: int, lane_block: int | None = None,
                interpret: bool = False) -> jnp.ndarray:
     """``acc[t] = sum_x u[:, x] (*) ext2[:, q + t + x]`` for t < t_blocks.
 
@@ -160,19 +169,27 @@ def phased_mac(u: jnp.ndarray, ext2: jnp.ndarray, q: jnp.ndarray,
     """
     _, n, vb = u.shape
     rows_total = ext2.shape[1]
+    if lane_block is None:
+        # 2048 measured best for BOTH storage widths (bf16 at 4096 was
+        # 25% slower: the bf16->f32 cast is a sublane re-tiling whose cost
+        # scales with the chunk, while DMA overhead does not dominate)
+        lane_block = 2048
     l = min(lane_block, vb)
-    assert n % 8 == 0, (
-        f"seg_count {n} must be a multiple of 8 for the Pallas tail MAC "
-        "(farm2_init pads the tail with zero segments)"
+    assert u.dtype == ext2.dtype
+    sub = 16 if u.dtype.itemsize == 2 else 8
+    assert n % sub == 0, (
+        f"seg_count {n} must be a multiple of {sub} for the {u.dtype} "
+        "Pallas tail MAC (farm2_init pads the tail with zero segments)"
     )
     assert vb % l == 0, (
         f"fused lane axis {vb} must divide by the lane block {l} "
         f"(B={b_voice} is a multiple of any power-of-two block <= B)"
     )
-    # max aligned copy start is ((n-1)//8)*8; the over-copy stays in bounds
-    assert rows_total >= ((n - 1) // 8) * 8 + _window_rows(n, t_blocks), (
+    # max aligned copy start is ((n-1)//sub)*sub; over-copy stays in bounds
+    assert rows_total >= ((n - 1) // sub) * sub + _window_rows(n, t_blocks, sub), (
         f"table rows {rows_total} too few for the aligned window "
         f"(n={n}, T={t_blocks})"
     )
-    call = _build_call(n, rows_total, vb, t_blocks, b_voice, l, interpret)
+    call = _build_call(n, rows_total, vb, t_blocks, b_voice, l,
+                       u.dtype.name, interpret)
     return call(jnp.asarray(q, jnp.int32).reshape(1), u, ext2)

@@ -65,7 +65,8 @@ def _fuse_po(a: jnp.ndarray) -> jnp.ndarray:
 
 def _init_tail_fused_direct(padded_tail: np.ndarray, tb: int,
                             tail_cfg: uniform.UniformConfig,
-                            chunk: int = 8) -> uniform.UniformState:
+                            chunk: int = 8,
+                            dtype=jnp.float32) -> uniform.UniformState:
     """Build the planes-outer fused-voice tail state STRAIGHT from the IR
     slice, in voice chunks written in place into the final doubled table
     (donated ``dynamic_update_slice``).
@@ -96,16 +97,16 @@ def _init_tail_fused_direct(padded_tail: np.ndarray, tb: int,
         c = chunk_ir.shape[0]
         fused = jnp.transpose(ext, (2, 1, 0, 3)).reshape(2, rows, c * tb)
         return jax.lax.dynamic_update_slice(
-            tab, fused, (0, 0, c0)
+            tab, fused.astype(dtype), (0, 0, c0)
         )
 
-    table = jnp.zeros((2, rows, vb), jnp.float32)
+    table = jnp.zeros((2, rows, vb), dtype)
     for c0 in range(0, v, chunk):
         piece = np.ascontiguousarray(padded_tail[c0: c0 + chunk])
         table = write(table, jnp.asarray(piece), jnp.asarray(c0 * tb, jnp.int32))
 
     return uniform.UniformState(
-        segments=jnp.zeros((2, n_t, vb), jnp.float32),
+        segments=jnp.zeros((2, n_t, vb), dtype),
         segments_ir=table,
         overlap=jnp.zeros((v, tb), jnp.float32),
         input_buffer=jnp.zeros((v, tb), jnp.float32),
@@ -146,7 +147,8 @@ def _tail_fused_state(tail_state_v: uniform.UniformState,
     )
 
 
-def farm2_init(irs, block_size: int, max_response_length: int
+def farm2_init(irs, block_size: int, max_response_length: int,
+               tail_dtype=jnp.float32,
                ) -> Tuple[two_stage.TwoStageConfig, two_stage.TwoStageState]:
     """Initialize V two-stage voices from ``irs [V, ir_len]``; returns the
     shared static config and a stacked state pytree.
@@ -154,6 +156,14 @@ def farm2_init(irs, block_size: int, max_response_length: int
     Mirrors ``TwoStageFFTConvolver::init`` (``src/fft_convolver.rs:340-406``)
     per voice, with each stage built through the batched farm initializer
     (one MXU-batched DFT per stage instead of V python loops).
+
+    ``tail_dtype=jnp.bfloat16`` stores the big tail's IR table and input
+    ring in bf16 (all arithmetic stays f32): the tail MAC is pure HBM
+    bandwidth, so this halves both the dominant per-call traffic and the
+    per-voice memory (~2x loadable voices).  Accuracy: the tail
+    contribution carries bf16's ~3 significant decimal digits (~1e-3
+    relative) instead of the f32 engines' 1e-5 parity — appropriate for
+    the reverb-tail part of the response, opt-in for throughput serving.
     """
     irs = np.asarray(irs, np.float32)
     v = irs.shape[0]
@@ -181,13 +191,17 @@ def farm2_init(irs, block_size: int, max_response_length: int
         tail0_state = jax.tree.map(lambda l: jnp.broadcast_to(l, (v,) + l.shape), t0s)
 
     if max_response_length > 2 * tb:
-        # pad the big tail to a multiple of 8 segments: trailing zero
-        # segments are live-but-silent exactly like init's zero padding
-        # (src/fft_convolver.rs:111-118), and the Pallas tail MAC's DMA /
-        # load slices then stay 8-sublane-aligned (a Mosaic requirement)
-        t_len = -(-(max_response_length - 2 * tb) // (8 * tb)) * (8 * tb)
+        # pad the big tail to a multiple of 8 (f32) / 16 (bf16) segments:
+        # trailing zero segments are live-but-silent exactly like init's
+        # zero padding (src/fft_convolver.rs:111-118), and the Pallas tail
+        # MAC's DMA / load slices then stay sublane-tile-aligned (a Mosaic
+        # requirement; the bf16 tile is (16, 128))
+        sub = 16 if tail_dtype == jnp.bfloat16 else 8
+        t_len = -(-(max_response_length - 2 * tb) // (sub * tb)) * (sub * tb)
         tail_cfg = uniform.make_config(tb, t_len)
-        tail_state = _init_tail_fused_direct(padded[:, 2 * tb :], tb, tail_cfg)
+        tail_state = _init_tail_fused_direct(
+            padded[:, 2 * tb :], tb, tail_cfg, dtype=tail_dtype
+        )
     else:
         tail_cfg = None
         _, ts = uniform.empty(tb)
@@ -297,9 +311,10 @@ def _pmul_sum_fused(a: jnp.ndarray, b: jnp.ndarray, m0: jnp.ndarray) -> jnp.ndar
     sum: combining terms BEFORE reducing leaves two reductions over two
     derived arrays (instead of four), which XLA fuses into a single pass
     over the ring and window — the MAC is HBM-bound and every extra pass
-    over the multi-GB operands is wall time."""
-    ar, ai = a[0], a[1]
-    br, bi = b[0], b[1]
+    over the multi-GB operands is wall time.  Operands may be bf16-stored
+    (the farm's opt-in tail dtype); arithmetic is f32."""
+    ar, ai = a[0].astype(jnp.float32), a[1].astype(jnp.float32)
+    br, bi = b[0].astype(jnp.float32), b[1].astype(jnp.float32)
     cross = ai * bi
     re = jnp.sum(ar * br - cross * (1.0 - m0), axis=0)
     im = jnp.sum((ar * bi + ai * br) * (1.0 - m0) + cross * m0, axis=0)
@@ -371,12 +386,12 @@ def _tail_corr_phased_fused(cfg: uniform.UniformConfig,
     vb = v * bs
 
     def row1(a, plane, r):
-        """a[plane, r] as a 1-D [VB] read (r may be traced)."""
+        """a[plane, r] as a 1-D f32 [VB] read (r may be traced)."""
         return jax.lax.dynamic_slice(
             a, (plane, r, 0) if isinstance(r, int) else
                (jnp.asarray(plane, jnp.int32), r, jnp.asarray(0, jnp.int32)),
             (1, 1, vb),
-        ).reshape(vb)
+        ).reshape(vb).astype(jnp.float32)
 
     convs = []
     for t in range(t_blocks):
@@ -396,7 +411,7 @@ def _tail_corr_phased_fused(cfg: uniform.UniformConfig,
     for s in range(t_blocks):
         row_s = jnp.mod(n - q - s, n)
         u = jax.lax.dynamic_update_slice_in_dim(
-            u, specs[s][:, None], row_s, axis=1
+            u, specs[s][:, None].astype(u.dtype), row_s, axis=1
         )
     k0r, k0i = row1(ext2, 0, 0), row1(ext2, 1, 0)
     sr, si = specs[-1, 0], specs[-1, 1]

@@ -241,6 +241,50 @@ def test_farm2_pallas_tail_mac_matches_jnp():
         )
 
 
+def test_farm2_bf16_tail_close_to_f32():
+    """Opt-in bf16 tail storage (table + ring): outputs must track the f32
+    farm within bf16's ~3 significant digits, through both the jnp core
+    and the Pallas MAC (interpret).  The head/tail0 stages stay exact, so
+    overall error is bounded by the tail contribution's precision."""
+    from fft_convolution_tpu.parallel import farm2
+
+    rng = np.random.default_rng(28)
+    v, b = 2, 64
+    ir_len = 9000
+    irs = rng.standard_normal((v, ir_len)).astype(np.float32) * 0.05
+    x = rng.standard_normal((0, v, b)).astype(np.float32)
+
+    cfg_f, state_f = farm2.farm2_init(irs, b, ir_len)
+    cfg_b, state_b = farm2.farm2_init(irs, b, ir_len, tail_dtype=jnp.bfloat16)
+    assert state_b.tail.segments_ir.dtype == jnp.bfloat16
+    assert cfg_b.tail.seg_count % 16 == 0
+    t = 2 * cfg_f.period
+    x = rng.standard_normal((2 * t, v, b)).astype(np.float32)
+
+    run_f = jax.jit(functools.partial(farm2.farm2_stream, cfg_f))
+    run_b = jax.jit(functools.partial(farm2.farm2_stream, cfg_b))
+    run_bp = jax.jit(functools.partial(
+        farm2.farm2_stream, cfg_b, tail_mac="pallas_interpret"
+    ))
+    state_bp = jax.tree.map(jnp.copy, state_b)
+
+    state_f, y_f1 = run_f(state_f, jnp.asarray(x[:t]))
+    state_b, y_b1 = run_b(state_b, jnp.asarray(x[:t]))
+    state_bp, y_p1 = run_bp(state_bp, jnp.asarray(x[:t]))
+    _, y_f2 = run_f(state_f, jnp.asarray(x[t:]))
+    _, y_b2 = run_b(state_b, jnp.asarray(x[t:]))
+    _, y_p2 = run_bp(state_bp, jnp.asarray(x[t:]))
+
+    y_f = np.concatenate([np.asarray(y_f1), np.asarray(y_f2)])
+    y_b = np.concatenate([np.asarray(y_b1), np.asarray(y_b2)])
+    y_p = np.concatenate([np.asarray(y_p1), np.asarray(y_p2)])
+    scale = np.max(np.abs(y_f))
+    assert np.max(np.abs(y_b - y_f)) < 2e-2 * scale
+    assert np.max(np.abs(y_p - y_f)) < 2e-2 * scale
+    # jnp core and Pallas MAC read the same bf16 state: near-identical
+    np.testing.assert_allclose(y_p, y_b, atol=1e-5)
+
+
 def test_farm2_update_batched():
     """Batched farm IR swap at a period boundary: every voice must match a
     standalone two-stage engine's update_extension (the farm keeps rings
