@@ -243,7 +243,10 @@ def farm2_update(cfg: two_stage.TwoStageConfig, state: two_stage.TwoStageState,
 
     Call at a period boundary (``tail_fill == 0``) — the same invariant
     :func:`farm2_stream` keeps.  ``new_irs``: ``[V, L]`` with ``L`` at most
-    the init ``max_response_length``.  Jittable.
+    the init ``max_response_length``.  Jittable; jit with
+    ``donate_argnums`` on the state so the big-tail table rebuild (a
+    voice-chunked scan) lands in place — without donation it costs one
+    table-sized copy.
     """
     new_irs = jnp.asarray(new_irs, jnp.float32)
     v = new_irs.shape[0]
@@ -272,13 +275,37 @@ def farm2_update(cfg: two_stage.TwoStageConfig, state: two_stage.TwoStageState,
 
     if cfg.tail is not None:
         n_t = cfg.tail.seg_count
+        rows = 2 * n_t + uniform.CORR_EXTRA_ROWS
+        ext_idx = jnp.arange(rows) % n_t
+        # rebuild the fused-voice doubled periodic table IN PLACE via a
+        # voice-chunked scan (the whole-farm spectra + doubled table as
+        # one expression peaked at ~9 GB of temps on top of live state at
+        # production voice counts); the scan carry donates, so the peak
+        # is one chunk's transient.  Chunk = largest divisor of V <= 8.
+        chunk = next(c for c in range(min(8, v), 0, -1) if v % c == 0)
         sl = stage_slice(2 * tb, cfg.tail.ir_len, n_t * tb)
-        spec = jax.vmap(lambda r: ir_to_spectra(r, tb, n_t))(sl)  # [V, n, 2, B]
-        # rebuild the planes-outer fused-voice doubled periodic table
-        ext_idx = jnp.arange(n_t + uniform.CORR_EXTRA_ROWS) % n_t
-        table = jnp.concatenate([spec, jnp.take(spec, ext_idx, axis=1)], axis=1)
+        chunks = sl.reshape(v // chunk, chunk, n_t * tb)
+
+        def body(tab, op):
+            idx, ch = op
+            spec = jax.lax.map(
+                lambda r: ir_to_spectra(r, tb, n_t), ch
+            )                                           # [C, n, 2, B]
+            ext = jnp.take(spec, ext_idx, axis=1)       # [C, rows, 2, B]
+            fused = jnp.transpose(ext, (2, 1, 0, 3)).reshape(
+                2, rows, chunk * tb
+            ).astype(tab.dtype)
+            tab = jax.lax.dynamic_update_slice(
+                tab, fused, (0, 0, idx * (chunk * tb))
+            )
+            return tab, None
+
+        table, _ = jax.lax.scan(
+            body, state.tail.segments_ir,
+            (jnp.arange(v // chunk, dtype=jnp.int32), chunks),
+        )
         tail = state.tail._replace(
-            segments_ir=_fuse_po(table),
+            segments_ir=table,
             overlap=jnp.zeros_like(state.tail.overlap),
             pre_multiplied=jnp.zeros_like(state.tail.pre_multiplied),
         )
