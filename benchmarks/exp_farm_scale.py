@@ -89,11 +89,14 @@ def main():
     )  # [q, V, tb]
 
     mac = "pallas" if "--pallas" in sys.argv else "jnp"
+    prec = "high" if "--prec-high" in sys.argv else "highest"
     wall, tail_st = slope_time_threaded(
-        functools.partial(farm2._tail_corr_phased_fused, cfg.tail, mac=mac),
+        functools.partial(farm2._tail_corr_phased_fused, cfg.tail, mac=mac,
+                          precision=farm2._PRECISIONS[prec]),
         state.tail, big_rows,
     )
-    print(f"V={voices:4d} big tail ({mac}): {wall*1e3:8.2f} ms", flush=True)
+    print(f"V={voices:4d} big tail ({mac},{prec}): {wall*1e3:8.2f} ms",
+          flush=True)
 
     wall, head_st = slope_time_threaded(
         lambda st, xs: farm.lockstep_vmap_stream(
@@ -107,7 +110,9 @@ def main():
     # full state (any ring phase is fine — both cores are phase-agnostic)
     state = state._replace(tail=tail_st, head=head_st)
     wall, _ = slope_time_threaded(
-        functools.partial(farm2.farm2_stream, cfg, tail_mac=mac), state, x
+        functools.partial(farm2.farm2_stream, cfg, tail_mac=mac,
+                          dft_precision=prec),
+        state, x,
     )
     print(
         f"V={voices:4d} full farm2: {wall*1e3:8.2f} ms  "

@@ -129,19 +129,19 @@ def _twiddles(n: int, sign: float) -> tuple[np.ndarray, np.ndarray]:
 # transforms
 # ---------------------------------------------------------------------------
 
-def _rdft_direct(x: jnp.ndarray, n: int) -> jnp.ndarray:
+def _rdft_direct(x: jnp.ndarray, n: int, precision=jax.lax.Precision.HIGHEST) -> jnp.ndarray:
     basis = jnp.asarray(_rdft_basis(n))
-    packed = jnp.matmul(x, basis, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
+    packed = jnp.matmul(x, basis, preferred_element_type=jnp.float32, precision=precision)
     return packed.reshape(x.shape[:-1] + (2, n // 2))
 
 
-def _irdft_direct(p: jnp.ndarray, n: int) -> jnp.ndarray:
+def _irdft_direct(p: jnp.ndarray, n: int, precision=jax.lax.Precision.HIGHEST) -> jnp.ndarray:
     basis = jnp.asarray(_irdft_basis(n))
     flat = p.reshape(p.shape[:-2] + (n,))
-    return jnp.matmul(flat, basis, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
+    return jnp.matmul(flat, basis, preferred_element_type=jnp.float32, precision=precision)
 
 
-def _dft4_real(x: jnp.ndarray, n: int) -> tuple[jnp.ndarray, jnp.ndarray]:
+def _dft4_real(x: jnp.ndarray, n: int, precision=jax.lax.Precision.HIGHEST) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Bailey 4-step forward DFT of real input over the last axis.
 
     Returns full-spectrum (re, im), each [..., n].  Stage 1 exploits the
@@ -152,19 +152,19 @@ def _dft4_real(x: jnp.ndarray, n: int) -> tuple[jnp.ndarray, jnp.ndarray]:
     a = x.reshape(batch + (n2, n1))                       # A[i2, i1]
     c2, s2 = (jnp.asarray(m) for m in _dft_mats(n2, -1.0))
     # stage 1: DFT_n2 along i2 -> G[k2, i1]
-    g_re = jnp.einsum("ki,...ij->...kj", c2, a, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
-    g_im = jnp.einsum("ki,...ij->...kj", s2, a, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
+    g_re = jnp.einsum("ki,...ij->...kj", c2, a, preferred_element_type=jnp.float32, precision=precision)
+    g_im = jnp.einsum("ki,...ij->...kj", s2, a, preferred_element_type=jnp.float32, precision=precision)
     # stage 2: twiddle w^(i1*k2)
     t_re, t_im = (jnp.asarray(m) for m in _twiddles(n, -1.0))
     h_re = g_re * t_re - g_im * t_im
     h_im = g_re * t_im + g_im * t_re
     # stage 3: DFT_n1 along i1 -> Y[k2, k1]
     c1, s1 = (jnp.asarray(m) for m in _dft_mats(n1, -1.0))
-    y_re = jnp.matmul(h_re, c1, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST) - jnp.matmul(
-        h_im, s1, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST
+    y_re = jnp.matmul(h_re, c1, preferred_element_type=jnp.float32, precision=precision) - jnp.matmul(
+        h_im, s1, preferred_element_type=jnp.float32, precision=precision
     )
-    y_im = jnp.matmul(h_re, s1, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST) + jnp.matmul(
-        h_im, c1, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST
+    y_im = jnp.matmul(h_re, s1, preferred_element_type=jnp.float32, precision=precision) + jnp.matmul(
+        h_im, c1, preferred_element_type=jnp.float32, precision=precision
     )
     # X[k1*n2 + k2] = Y[k2, k1]
     re = jnp.swapaxes(y_re, -1, -2).reshape(batch + (n,))
@@ -172,15 +172,15 @@ def _dft4_real(x: jnp.ndarray, n: int) -> tuple[jnp.ndarray, jnp.ndarray]:
     return re, im
 
 
-def _rdft_4step(x: jnp.ndarray, n: int) -> jnp.ndarray:
+def _rdft_4step(x: jnp.ndarray, n: int, precision=jax.lax.Precision.HIGHEST) -> jnp.ndarray:
     b = n // 2
-    re, im = _dft4_real(x, n)
+    re, im = _dft4_real(x, n, precision)
     p_re = re[..., :b]
     p_im = jnp.concatenate([re[..., b : b + 1], im[..., 1:b]], axis=-1)
     return jnp.stack([p_re, p_im], axis=-2)
 
 
-def _irdft_4step(p: jnp.ndarray, n: int) -> jnp.ndarray:
+def _irdft_4step(p: jnp.ndarray, n: int, precision=jax.lax.Precision.HIGHEST) -> jnp.ndarray:
     """Inverse via Hermitian extension + inverse 4-step, real output only
     (final stage computes just the real part: 2 matmuls)."""
     b = n // 2
@@ -196,24 +196,25 @@ def _irdft_4step(p: jnp.ndarray, n: int) -> jnp.ndarray:
     a_re = re_full.reshape(batch + (n2, n1))
     a_im = im_full.reshape(batch + (n2, n1))
     c2, s2 = (jnp.asarray(m) for m in _dft_mats(n2, 1.0))
-    g_re = jnp.einsum("ki,...ij->...kj", c2, a_re, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST) - jnp.einsum(
-        "ki,...ij->...kj", s2, a_im, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST
+    g_re = jnp.einsum("ki,...ij->...kj", c2, a_re, preferred_element_type=jnp.float32, precision=precision) - jnp.einsum(
+        "ki,...ij->...kj", s2, a_im, preferred_element_type=jnp.float32, precision=precision
     )
-    g_im = jnp.einsum("ki,...ij->...kj", c2, a_im, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST) + jnp.einsum(
-        "ki,...ij->...kj", s2, a_re, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST
+    g_im = jnp.einsum("ki,...ij->...kj", c2, a_im, preferred_element_type=jnp.float32, precision=precision) + jnp.einsum(
+        "ki,...ij->...kj", s2, a_re, preferred_element_type=jnp.float32, precision=precision
     )
     t_re, t_im = (jnp.asarray(m) for m in _twiddles(n, 1.0))
     h_re = g_re * t_re - g_im * t_im
     h_im = g_re * t_im + g_im * t_re
     c1, s1 = (jnp.asarray(m) for m in _dft_mats(n1, 1.0))
-    y_re = jnp.matmul(h_re, c1, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST) - jnp.matmul(
-        h_im, s1, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST
+    y_re = jnp.matmul(h_re, c1, preferred_element_type=jnp.float32, precision=precision) - jnp.matmul(
+        h_im, s1, preferred_element_type=jnp.float32, precision=precision
     )
     out = jnp.swapaxes(y_re, -1, -2).reshape(batch + (n,))
     return out / n
 
 
 def _cdft4_axis2(re: jnp.ndarray, im: jnp.ndarray, m: int, sign: float,
+                 precision=jax.lax.Precision.HIGHEST,
                  ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Complex 4-step DFT of length ``m`` (power of two) along axis -2 of
     ``[..., m, L]`` arrays — every stage an MXU matmul over the time axis,
@@ -225,7 +226,7 @@ def _cdft4_axis2(re: jnp.ndarray, im: jnp.ndarray, m: int, sign: float,
     a_re = re.reshape(batch + (n2, n1, lanes))
     a_im = im.reshape(batch + (n2, n1, lanes))
     c2, s2 = (jnp.asarray(x) for x in _dft_mats(n2, sign))
-    hp = jax.lax.Precision.HIGHEST
+    hp = precision
 
     def mm2(mat, arr):  # contract the n2 axis: [k2,i2] x [..., i2, i1, L]
         return jnp.einsum("ki,...ijl->...kjl", mat, arr,
@@ -250,7 +251,8 @@ def _cdft4_axis2(re: jnp.ndarray, im: jnp.ndarray, m: int, sign: float,
     return out_re, out_im
 
 
-def causal_conv_time(ext: jnp.ndarray, kern: jnp.ndarray, t_out: int) -> jnp.ndarray:
+def causal_conv_time(ext: jnp.ndarray, kern: jnp.ndarray, t_out: int,
+                     precision=jax.lax.Precision.HIGHEST) -> jnp.ndarray:
     """``out[t] = sum_i kern[i] (*) ext[N-1+t-i]`` — the frequency-delay-line
     MAC over a whole stream, computed by a SECOND DFT along the block axis
     (overlap-save at the meta level).  Grouped-conv HLOs lower to ~100
@@ -268,8 +270,6 @@ def causal_conv_time(ext: jnp.ndarray, kern: jnp.ndarray, t_out: int) -> jnp.nda
     n = kern.shape[-3]
     b = ext.shape[-1]
     m = next_power_of_two(lt)
-    hp = jax.lax.Precision.HIGHEST
-    del hp
 
     def pad_m(x):
         pad = [(0, 0)] * (x.ndim - 2) + [(0, m - x.shape[-2]), (0, 0)]
@@ -280,13 +280,13 @@ def causal_conv_time(ext: jnp.ndarray, kern: jnp.ndarray, t_out: int) -> jnp.nda
     k_re = pad_m(kern[..., 0, :])
     k_im = pad_m(kern[..., 1, :])
 
-    ehat_re, ehat_im = _cdft4_axis2(e_re, e_im, m, -1.0)
-    khat_re, khat_im = _cdft4_axis2(k_re, k_im, m, -1.0)
+    ehat_re, ehat_im = _cdft4_axis2(e_re, e_im, m, -1.0, precision)
+    khat_re, khat_im = _cdft4_axis2(k_re, k_im, m, -1.0, precision)
 
     # main product: IDFT gives (rr - ii) + i (ri + ir) per lane
     z_re = ehat_re * khat_re - ehat_im * khat_im
     z_im = ehat_re * khat_im + ehat_im * khat_re
-    out_re, out_im = _cdft4_axis2(z_re, z_im, m, 1.0)
+    out_re, out_im = _cdft4_axis2(z_re, z_im, m, 1.0, precision)
 
     # lane-0 correction: conv with conj(kern) gives (rr + ii) + i (ir - ri);
     # DFT(conj(k))[f] = conj(K[-f mod M]) — no extra forward DFT needed
@@ -295,7 +295,7 @@ def causal_conv_time(ext: jnp.ndarray, kern: jnp.ndarray, t_out: int) -> jnp.nda
     e0_re, e0_im = ehat_re[..., :1], ehat_im[..., :1]
     zc_re = e0_re * kc_re - e0_im * kc_im
     zc_im = e0_re * kc_im + e0_im * kc_re
-    outc_re, _outc_im = _cdft4_axis2(zc_re, zc_im, m, 1.0)
+    outc_re, _outc_im = _cdft4_axis2(zc_re, zc_im, m, 1.0, precision)
 
     sl = [slice(None)] * out_re.ndim
     sl[-2] = slice(n - 1, n - 1 + t_out)
@@ -311,25 +311,30 @@ def causal_conv_time(ext: jnp.ndarray, kern: jnp.ndarray, t_out: int) -> jnp.nda
     return jnp.stack([re, im], axis=-2)  # [..., T, 2, B]
 
 
-def rdft_block(x: jnp.ndarray, fft_size: int) -> jnp.ndarray:
+def rdft_block(x: jnp.ndarray, fft_size: int,
+               precision=jax.lax.Precision.HIGHEST) -> jnp.ndarray:
     """Forward packed real DFT of a block zero-padded to ``fft_size``.
 
     Equivalent to ``copy_and_pad`` + ``Fft::forward``
     (``src/fft_convolver.rs:36-39,56-60``).  Last axis is the transform;
-    leading axes batch (and batch straight onto the MXU)."""
+    leading axes batch (and batch straight onto the MXU).  ``precision``
+    defaults to the parity-exact HIGHEST; throughput paths (the reverb
+    farm) may pass HIGH (bf16x3 passes, ~f32 quality at half the MXU
+    cost) — never change the default, the 1e-6 parity tests depend on it."""
     x = jnp.asarray(x, jnp.float32)
     x = copy_and_pad(x, fft_size)
     if fft_size <= _DIRECT_MAX:
-        return _rdft_direct(x, fft_size)
-    return _rdft_4step(x, fft_size)
+        return _rdft_direct(x, fft_size, precision)
+    return _rdft_4step(x, fft_size, precision)
 
 
-def irdft_block(p: jnp.ndarray, fft_size: int) -> jnp.ndarray:
+def irdft_block(p: jnp.ndarray, fft_size: int,
+                precision=jax.lax.Precision.HIGHEST) -> jnp.ndarray:
     """Inverse packed real DFT with 1/n normalization, matching
     ``Fft::inverse`` (``src/fft_convolver.rs:41-49``)."""
     if fft_size <= _DIRECT_MAX:
-        return _irdft_direct(p, fft_size)
-    return _irdft_4step(p, fft_size)
+        return _irdft_direct(p, fft_size, precision)
+    return _irdft_4step(p, fft_size, precision)
 
 
 def ir_to_spectra(ir_padded: jnp.ndarray, block_size: int, seg_count: int) -> jnp.ndarray:

@@ -352,6 +352,7 @@ def _tail_corr_phased_fused(cfg: uniform.UniformConfig,
                             state: uniform.UniformState,
                             blocks_rows: jnp.ndarray,
                             mac: str = "jnp",
+                            precision=jax.lax.Precision.HIGHEST,
                             ) -> Tuple[uniform.UniformState, jnp.ndarray]:
     """Planes-outer fused-voice batched phased correlation core — the farm
     big-tail engine.  Index math identical to
@@ -376,7 +377,7 @@ def _tail_corr_phased_fused(cfg: uniform.UniformConfig,
     bs = cfg.fft_size // 2
     # [T, V, 2, Bs] -> planes-outer fused [T, 2, V*Bs] (input-sized
     # transpose, negligible next to the ring/table reads)
-    specs = jnp.swapaxes(rdft_block(blocks_rows, cfg.fft_size), 1, 2)
+    specs = jnp.swapaxes(rdft_block(blocks_rows, cfg.fft_size, precision), 1, 2)
     specs = specs.reshape(t_blocks, 2, v * bs)
     ext2 = state.segments_ir                          # [2, 2N+E, VB]
     u = state.segments                                # [2, N, VB]
@@ -449,7 +450,8 @@ def _tail_corr_phased_fused(cfg: uniform.UniformConfig,
     ])
 
     outs = irdft_block(
-        jnp.swapaxes(convs.reshape(t_blocks, 2, v, bs), 1, 2), cfg.fft_size
+        jnp.swapaxes(convs.reshape(t_blocks, 2, v, bs), 1, 2), cfg.fft_size,
+        precision,
     )                                                 # [T, V, 2B]
     tails = jnp.concatenate([state.overlap[None], outs[:-1, :, b:]], axis=0)
     y = outs[:, :, :b] + tails                        # [T, V, B]
@@ -462,7 +464,8 @@ def _tail_corr_phased_fused(cfg: uniform.UniformConfig,
 
 def _heads_fused(cfg: two_stage.TwoStageConfig,
                  st_h: uniform.UniformState, st_t0: uniform.UniformState,
-                 vx: jnp.ndarray):
+                 vx: jnp.ndarray, spec0_prev: jnp.ndarray,
+                 precision=jax.lax.Precision.HIGHEST):
     """Fused head+tail0 farm stream: with the big tail present both stages
     convolve the SAME input at the same block size and segment count
     (``head_len == t0_len == tail_block``), so one ring history and ONE
@@ -471,22 +474,34 @@ def _heads_fused(cfg: two_stage.TwoStageConfig,
     :func:`ops.fft.causal_conv_time`), accumulators, and OLA tails differ.
     Halves the head-side DFT work of two separate streams.
 
-    Farm invariant consumed: full clean lockstep rings.  Farm invariant
-    PRODUCED: only the head state's ring is maintained — ``st_t0``'s
-    ``segments``/``current`` leaves are retained untouched (DEAD within
-    farm2; writing an identical second ring would either duplicate the
-    roll or alias two output buffers, which donation rejects).
+    The tail0 stage's one-PERIOD output delay is applied at the SPECTRA
+    level before the inverse transform: with ``p = period`` head blocks
+    per period, ``y[t] = irdft(conv_h[t] + conv_0[t - p])`` and ONE
+    overlap-add chain (on the head's ``overlap``) serves the sum — OLA is
+    linear, so summing pre-OLA block spectra is exact.  This halves the
+    inverse-DFT and OLA traffic relative to two separate streams; the
+    first ``p`` delayed spectra of each call come from ``spec0_prev``
+    (the previous call's last ``p`` tail0 conv spectra).
 
-    Returns ``(st_h', st_t0', y_head [V,T,B], y_tail0 [V,T,B])``.
+    Farm invariant consumed: full clean lockstep rings.  Farm invariants
+    PRODUCED: only the head state's ring and OVERLAP are maintained —
+    ``st_t0``'s ``segments``/``current``/``overlap`` leaves are retained
+    untouched (DEAD within farm2; writing an identical second ring would
+    either duplicate the roll or alias two output buffers, which donation
+    rejects).
+
+    Returns ``(st_h', st_t0', y_combined [V,T,B], spec0_last [V,p,2,B])``.
     """
     ucfg = cfg.head
     n = ucfg.seg_count
     b = ucfg.block_size
+    p = cfg.period
     assert cfg.tail0 is not None and cfg.tail0.seg_count == n
     v, t = vx.shape[0], vx.shape[1]
+    assert t % p == 0 and t >= p
     current = st_h.current[0]
 
-    specs = rdft_block(vx, ucfg.fft_size)                    # [V, T, 2, B]
+    specs = rdft_block(vx, ucfg.fft_size, precision)         # [V, T, 2, B]
     if n > 1:
         seg2 = jnp.concatenate([st_h.segments, st_h.segments], axis=1)
         window = jax.lax.dynamic_slice(
@@ -497,17 +512,17 @@ def _heads_fused(cfg: two_stage.TwoStageConfig,
         ext = specs
 
     kern2 = jnp.stack([st_h.segments_ir, st_t0.segments_ir])  # [2, V, n, 2, B]
-    convs2 = causal_conv_time(ext, kern2, t)                  # [2, V, T, 2, B]
-    outs = irdft_block(convs2, ucfg.fft_size)                 # [2, V, T, 2B]
-
-    def ola(outs_s, st):
-        tails = jnp.concatenate(
-            [st.overlap[:, None], outs_s[:, :-1, b:]], axis=1
-        )
-        return outs_s[:, :, :b] + tails, outs_s[:, -1, b:]
-
-    y_h, ovl_h = ola(outs[0], st_h)
-    y_t0, ovl_t0 = ola(outs[1], st_t0)
+    convs2 = causal_conv_time(ext, kern2, t, precision)       # [2, V, T, 2, B]
+    conv0_del = jnp.concatenate(
+        [spec0_prev, convs2[1, :, : t - p]], axis=1
+    )                                                         # [V, T, 2, B]
+    s = convs2[0] + conv0_del
+    outs = irdft_block(s, ucfg.fft_size, precision)           # [V, T, 2B]
+    tails = jnp.concatenate(
+        [st_h.overlap[:, None], outs[:, :-1, b:]], axis=1
+    )
+    y = outs[:, :, :b] + tails
+    spec0_last = convs2[1, :, t - p:]                         # [V, p, 2, B]
 
     # shared ring rebuild (full-ring roll fast path, lockstep scalars) —
     # mirrors models.uniform._stream_conv.rebuild_roll, batched over voices
@@ -523,17 +538,23 @@ def _heads_fused(cfg: two_stage.TwoStageConfig,
     currents = jnp.broadcast_to(current_f, (v,))
     st_h2 = st_h._replace(
         segments=segments, current=currents,
-        pre_multiplied=pre_h, overlap=ovl_h,
+        pre_multiplied=pre_h, overlap=outs[:, -1, b:],
     )
-    st_t02 = st_t0._replace(
-        current=currents, pre_multiplied=pre_t0, overlap=ovl_t0,
-    )
-    return st_h2, st_t02, y_h, y_t0
+    st_t02 = st_t0._replace(current=currents, pre_multiplied=pre_t0)
+    return st_h2, st_t02, y, spec0_last
+
+
+_PRECISIONS = {
+    "highest": jax.lax.Precision.HIGHEST,
+    "high": jax.lax.Precision.HIGH,
+    "default": jax.lax.Precision.DEFAULT,
+}
 
 
 def farm2_stream(cfg: two_stage.TwoStageConfig, state: two_stage.TwoStageState,
                  blocks: jnp.ndarray,
                  tail_mac: str = "jnp",
+                 dft_precision: str = "highest",
                  ) -> Tuple[two_stage.TwoStageState, jnp.ndarray]:
     """Stream ``blocks [T, V, B]`` -> ``[T, V, B]``; requires period-aligned
     state (fresh or after period-multiple streams) and ``T % period == 0``.
@@ -541,8 +562,9 @@ def farm2_stream(cfg: two_stage.TwoStageConfig, state: two_stage.TwoStageState,
     The three stages of the aligned decomposition
     (:func:`models.two_stage.process_stream_aligned`:
     ``y = head(x) + delay_1(tail0(x)) + delay_2(tail(x))``) run with the
-    voice axis placed per stage — head/tail0 vmapped voice-leading, the
-    big tail batched fused-voice — see the module docstring for why.
+    voice axis placed per stage — head+tail0 fused voice-leading with the
+    tail0 delay applied pre-inverse (:func:`_heads_fused`), the big tail
+    batched fused-voice — see the module docstring for why.
     """
     if cfg.tail is None:
         # short-IR farm (<= 2 tail blocks): no big tail to batch specially
@@ -563,23 +585,29 @@ def farm2_stream(cfg: two_stage.TwoStageConfig, state: two_stage.TwoStageState,
 
     vx = jnp.swapaxes(blocks, 0, 1)  # [V, T, B]
 
-    # head + tail0 share one ring and one time-DFT pipeline
-    head_state, tail0_state, y, out0 = _heads_fused(
-        cfg, state.head, state.tail0, vx
-    )                                                   # y [V, T, B]
+    prec = _PRECISIONS[dft_precision]
 
-    # tail0: one-period delay (precalc0 holds the previous period's output)
-    per0 = out0.reshape(v, q, tb)
-    contrib0 = jnp.concatenate([state.tail_precalc0[:, None], per0[:, :-1]], axis=1)
-    y = y + contrib0.reshape(v, t, b)
-    new_precalc0 = per0[:, -1]
-    new_output0 = per0[:, -2] if q >= 2 else state.tail_precalc0
+    # head + tail0 share one ring, one time-DFT pipeline, and (via the
+    # spectra-level delay fold) ONE inverse transform + OLA chain.
+    # farm2-internal convention: the previous call's last `p` tail0 conv
+    # spectra live in the two period buffers as separate planes —
+    # tail_precalc0 = re [V, p*B], tail_output0 = im [V, p*B].
+    spec0_prev = jnp.stack(
+        [state.tail_precalc0.reshape(v, p, b),
+         state.tail_output0.reshape(v, p, b)],
+        axis=2,
+    )                                                   # [V, p, 2, B]
+    head_state, tail0_state, y, spec0_last = _heads_fused(
+        cfg, state.head, state.tail0, vx, spec0_prev, precision=prec
+    )                                                   # y [V, T, B]
+    new_precalc0 = spec0_last[:, :, 0].reshape(v, tb)
+    new_output0 = spec0_last[:, :, 1].reshape(v, tb)
 
     # big tail: two-period delay, fused-voice phased correlation core
     # (tail_mac="pallas" for the single-pass TPU MAC kernel)
     big_rows = jnp.swapaxes(vx.reshape(v, q, tb), 0, 1)  # [q, V, tb]
     tail_state, out_t = _tail_corr_phased_fused(
-        cfg.tail, state.tail, big_rows, mac=tail_mac
+        cfg.tail, state.tail, big_rows, mac=tail_mac, precision=prec
     )
     out_tv = jnp.swapaxes(out_t, 0, 1)                   # [V, q, tb]
     heads_ = [state.tail_precalc[:, None], state.tail_output[:, None]]
