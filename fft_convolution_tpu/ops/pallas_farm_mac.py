@@ -1,35 +1,44 @@
-"""Pallas kernel for the reverb farm's phased big-tail MAC.
+"""Pallas kernel for the reverb farm's phased big-tail step.
 
-The farm tail core (:func:`parallel.farm2._tail_corr_phased_fused`) spends
-nearly all its time in
+The farm tail core (:func:`parallel.farm2._tail_corr_phased_fused`)
+computes, over planes-outer fused-voice operands ``U [2, N, VB]``
+(input-spectra ring) and ``ext2 [2, 2N+E, VB]`` (doubled periodic IR
+table),
 
-    acc[t] = sum_x  U[x] (*) ext2[q + t + x],      t = 0 .. T-1
+    conv[t] = sum_x U[x] (*) ext2[q + t + x]
+            + sum_{s<=t} (spec[s] - U[row_s]) (*) ext2[t - s]
+    pre     = conv[T-1] - spec[T-1] (*) ext2[0]
 
-over planes-outer fused-voice operands ``U [2, N, VB]`` (input-spectra
-ring) and ``ext2 [2, 2N+E, VB]`` (doubled periodic IR table) — a pure
-HBM-bandwidth problem: ~3 GB of ring + ~3 GB of table window per call at
-production voice counts.  XLA lowers the jnp formulation as one
-multi-pass reduction PER STEP (t=0 and t=1 each re-read both operands,
-and the product/reduce pair splits into further passes) — measured 76 ms
-at V=131 against an ~8 ms single-pass floor.
+— a pure HBM-bandwidth problem: ~3 GB of ring + ~3 GB of table window per
+call at production voice counts.  Two XLA lowerings of the jnp
+formulation motivated this kernel (both measured at V=128):
 
-This kernel makes exactly ONE pass: the grid walks lane chunks of the
-fused ``V*B`` axis; per chunk the ring block arrives via the normal
-Pallas pipeline (static index map) while the phase-offset table window
-``ext2[:, q : q + N + T - 1]`` is DMA'd with an explicitly double-buffered
-async copy (the window start ``q`` is a runtime scalar, which BlockSpec
-index maps cannot express at element granularity).  All T outputs are
-accumulated from the single resident window — the per-step views
-``window[t : t + N]`` are VMEM sublane slices, not HBM re-reads.
+* the base sums lower as multi-pass reductions PER STEP — 76 ms against
+  an ~8 ms single-pass floor;
+* the correction terms' single-ROW reads of the (8,128)-tiled big arrays
+  are 8x-amplified (one row of a tile touches the whole 8-sublane tile)
+  — ~6.7 ms of ``[VB]``-shaped reduce fusions in the HLO cost model.
 
-Mosaic alignment rules shape the implementation (all hit in practice):
-DMA offsets and sizes on the sublane dim must be multiples of 8 — the
-copy starts at the aligned row below the phase and the in-VMEM reads
-shift by the residue; dynamic sublane loads want 2-D refs (the window
-scratch is a per-plane ``[2*rows, L]`` buffer with the slot folded into
-the row offset) and 8-multiple sizes (``N`` must be a multiple of 8 —
-``farm2_init`` pads the tail with live-but-silent zero segments,
-reference padding semantics ``src/fft_convolver.rs:111-118``).
+The kernel does the WHOLE step: the grid walks lane chunks of the fused
+``V*B`` axis; per chunk the ring and spec blocks arrive via the normal
+Pallas pipeline while the phase-offset table window
+``ext2[:, q : q + N + T - 1]`` and the table head rows ``ext2[:, :sub]``
+are DMA'd double-buffered (the window start ``q`` is a runtime scalar,
+which BlockSpec index maps cannot express at element granularity).  All
+T outputs and the ``pre`` accumulator come from the single resident
+window; the correction terms' ring rows are mask-reduced out of the
+already-resident ring block (one cheap VPU pass instead of an amplified
+HBM read).
+
+Mosaic rules that shape the implementation (all hit in practice): DMA
+offsets and sizes on the sublane dim must be tile-multiples (8 rows f32 /
+16 bf16) — the copy starts at the aligned row below the phase and the
+loaded window rotates by the residue (``pltpu.roll``, 32-bit only, so
+bf16 casts after the load); dynamic sublane loads want 2-D refs
+(per-plane ``[2*rows, L]`` scratch, slot folded into the row offset) and
+tile-multiple sizes (``N`` is padded by ``farm2_init`` with
+live-but-silent zero segments, reference padding semantics
+``src/fft_convolver.rs:111-118``).
 
 The DC/Nyquist lane-0 packing correction (ops/cpx.py) is applied in-kernel
 per voice: lane ``g`` is a DC lane iff ``g % B == 0`` in the fused axis.
@@ -61,9 +70,11 @@ def _window_rows(n: int, t_blocks: int, sub: int) -> int:
 def _kernel(n: int, t_blocks: int, b_voice: int, l: int, sub: int,
             q_ref,                       # SMEM in
             u_ref,                       # VMEM in (pipelined [2, N, L] block)
+            specs_ref,                   # VMEM in (pipelined [T, 2, L] block)
             ext2_hbm,                    # ANY in (HBM table)
             out_ref,                     # VMEM out ([T, 2, L] block)
-            wr_buf, wi_buf, sem):        # scratch
+            pre_ref,                     # VMEM out ([2, L] block)
+            wr_buf, wi_buf, khr_buf, khi_buf, sem):  # scratch
     j = pl.program_id(0)
     nj = pl.num_programs(0)
     rows = _window_rows(n, t_blocks, sub)
@@ -78,9 +89,18 @@ def _kernel(n: int, t_blocks: int, b_voice: int, l: int, sub: int,
             sem.at[slot, plane],
         )
 
+    def khead_copy(jj, slot, plane, buf):
+        return pltpu.make_async_copy(
+            ext2_hbm.at[plane, pl.ds(0, sub), pl.ds(jj * l, l)],
+            buf.at[pl.ds(slot * sub, sub)],
+            sem.at[slot, 2 + plane],
+        )
+
     def start(jj, slot):
         window_copy(jj, slot, 0, wr_buf).start()
         window_copy(jj, slot, 1, wi_buf).start()
+        khead_copy(jj, slot, 0, khr_buf).start()
+        khead_copy(jj, slot, 1, khi_buf).start()
 
     slot = jax.lax.rem(j, 2)
 
@@ -94,9 +114,12 @@ def _kernel(n: int, t_blocks: int, b_voice: int, l: int, sub: int,
 
     window_copy(j, slot, 0, wr_buf).wait()
     window_copy(j, slot, 1, wi_buf).wait()
+    khead_copy(j, slot, 0, khr_buf).wait()
+    khead_copy(j, slot, 1, khi_buf).wait()
 
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, l), 1) + j * l
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, l), 1)[0] + j * l
     m0 = (jax.lax.rem(lane, b_voice) == 0).astype(jnp.float32)
+    m1 = 1.0 - m0
 
     # Mosaic only proves alignment for tile-multiple sublane offsets, so
     # the residue shift ``d`` cannot appear in a load offset: load the
@@ -111,18 +134,42 @@ def _kernel(n: int, t_blocks: int, b_voice: int, l: int, sub: int,
     w_im = pltpu.roll(
         wi_buf[pl.ds(slot * rows, rows), :].astype(jnp.float32), shift, axis=0
     )
+    kh_re = khr_buf[pl.ds(slot * sub, sub), :].astype(jnp.float32)
+    kh_im = khi_buf[pl.ds(slot * sub, sub), :].astype(jnp.float32)
 
     ur = u_ref[0].astype(jnp.float32)
     ui = u_ref[1].astype(jnp.float32)
+    riota = jax.lax.broadcasted_iota(jnp.int32, (n, l), 0)
     for t in range(t_blocks):
         wr = jax.lax.slice_in_dim(w_re, t, t + n, axis=0)
         wi = jax.lax.slice_in_dim(w_im, t, t + n, axis=0)
         cross = ui * wi
-        re = jnp.sum(ur * wr - cross * (1.0 - m0), axis=0, keepdims=True)
-        im = jnp.sum((ur * wi + ui * wr) * (1.0 - m0) + cross * m0,
-                     axis=0, keepdims=True)
-        out_ref[t, 0, :] = re[0]
-        out_ref[t, 1, :] = im[0]
+        re = jnp.sum(ur * wr - cross * m1, axis=0)
+        im = jnp.sum((ur * wi + ui * wr) * m1 + cross * m0, axis=0)
+        for s in range(t + 1):
+            # double-rem: n - q - s can go negative for larger T and
+            # lax.rem keeps the sign (jnp.mod semantics needed)
+            row_s = jax.lax.rem(jax.lax.rem(n - q - s, n) + n, n)
+            # the ring row about to be overwritten, mask-reduced out of
+            # the resident block (an HBM row read would be 8x-amplified
+            # by tiling, and a dynamic sublane load needs alignment)
+            mask = (riota == row_s).astype(jnp.float32)
+            dre = specs_ref[s, 0, :] - jnp.sum(ur * mask, axis=0)
+            dim = specs_ref[s, 1, :] - jnp.sum(ui * mask, axis=0)
+            kr = kh_re[t - s]
+            ki = kh_im[t - s]
+            crossd = dim * ki
+            re = re + dre * kr - crossd * m1
+            im = im + (dre * ki + dim * kr) * m1 + crossd * m0
+        out_ref[t, 0, :] = re
+        out_ref[t, 1, :] = im
+        if t == t_blocks - 1:
+            sr = specs_ref[t, 0, :]
+            si = specs_ref[t, 1, :]
+            cross0 = si * kh_im[0]
+            pre_ref[0, :] = re - (sr * kh_re[0] - cross0 * m1)
+            pre_ref[1, :] = im - ((sr * kh_im[0] + si * kh_re[0]) * m1
+                                  + cross0 * m0)
 
 
 @functools.lru_cache(maxsize=None)
@@ -136,18 +183,27 @@ def _build_call(n: int, rows_total: int, vb: int, t_blocks: int,
     return pl.pallas_call(
         kernel,
         grid=grid,
-        out_shape=jax.ShapeDtypeStruct((t_blocks, 2, vb), jnp.float32),
+        out_shape=(
+            jax.ShapeDtypeStruct((t_blocks, 2, vb), jnp.float32),  # convs
+            jax.ShapeDtypeStruct((2, vb), jnp.float32),            # pre
+        ),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),                # q
             pl.BlockSpec((2, n, l), lambda j: (0, 0, j)),         # u
+            pl.BlockSpec((t_blocks, 2, l), lambda j: (0, 0, j)),  # specs
             pl.BlockSpec(memory_space=pl.ANY),                    # ext2 (HBM)
         ],
-        out_specs=pl.BlockSpec((t_blocks, 2, l), lambda j: (0, 0, j)),
+        out_specs=(
+            pl.BlockSpec((t_blocks, 2, l), lambda j: (0, 0, j)),
+            pl.BlockSpec((2, l), lambda j: (0, j)),
+        ),
         scratch_shapes=[
             # double-buffered per-plane windows, slot folded into rows
-            pltpu.VMEM((2 * rows, l), dtype),                     # re
-            pltpu.VMEM((2 * rows, l), dtype),                     # im
-            pltpu.SemaphoreType.DMA((2, 2)),                      # [slot, plane]
+            pltpu.VMEM((2 * rows, l), dtype),                     # window re
+            pltpu.VMEM((2 * rows, l), dtype),                     # window im
+            pltpu.VMEM((2 * sub, l), dtype),                      # k head re
+            pltpu.VMEM((2 * sub, l), dtype),                      # k head im
+            pltpu.SemaphoreType.DMA((2, 4)),   # [slot, win re/im + kh re/im]
         ],
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
@@ -156,18 +212,22 @@ def _build_call(n: int, rows_total: int, vb: int, t_blocks: int,
     )
 
 
-def phased_mac(u: jnp.ndarray, ext2: jnp.ndarray, q: jnp.ndarray,
-               t_blocks: int, b_voice: int, lane_block: int | None = None,
-               interpret: bool = False) -> jnp.ndarray:
-    """``acc[t] = sum_x u[:, x] (*) ext2[:, q + t + x]`` for t < t_blocks.
+def phased_step(u: jnp.ndarray, ext2: jnp.ndarray, specs: jnp.ndarray,
+                q: jnp.ndarray, b_voice: int,
+                lane_block: int | None = None,
+                interpret: bool = False):
+    """Full phased correlation step: corrected conv sums and the
+    ``pre_multiplied`` accumulator in one pass.
 
-    ``u``: [2, N, VB] with ``N`` a multiple of 8 (``farm2_init`` pads);
-    ``ext2``: [2, R, VB] doubled periodic table with enough row slack for
-    the aligned window (asserted); ``q``: scalar i32 phase in [0, N);
-    ``b_voice``: per-voice lane width B of the fused axis (DC-lane mask
-    period).  Returns [t_blocks, 2, VB] packed sums.
+    ``u``: [2, N, VB] ring (``N`` a tile-multiple — ``farm2_init`` pads);
+    ``ext2``: [2, R, VB] doubled periodic table with row slack for the
+    aligned window (asserted); ``specs``: [T, 2, VB] fresh input spectra
+    (T <= the storage tile, so the table-head DMA covers every k row);
+    ``q``: scalar i32 phase in [0, N); ``b_voice``: per-voice lane width
+    B of the fused axis.  Returns ``(convs [T, 2, VB], pre [2, VB])``.
     """
     _, n, vb = u.shape
+    t_blocks = specs.shape[0]
     rows_total = ext2.shape[1]
     if lane_block is None:
         # 2048 measured best for BOTH storage widths (bf16 at 4096 was
@@ -177,9 +237,12 @@ def phased_mac(u: jnp.ndarray, ext2: jnp.ndarray, q: jnp.ndarray,
     l = min(lane_block, vb)
     assert u.dtype == ext2.dtype
     sub = 16 if u.dtype.itemsize == 2 else 8
+    assert t_blocks <= sub, (
+        f"{t_blocks} blocks per call exceed the {sub}-row table-head DMA"
+    )
     assert n % sub == 0, (
         f"seg_count {n} must be a multiple of {sub} for the {u.dtype} "
-        "Pallas tail MAC (farm2_init pads the tail with zero segments)"
+        "Pallas tail step (farm2_init pads the tail with zero segments)"
     )
     assert vb % l == 0, (
         f"fused lane axis {vb} must divide by the lane block {l} "
@@ -192,4 +255,5 @@ def phased_mac(u: jnp.ndarray, ext2: jnp.ndarray, q: jnp.ndarray,
     )
     call = _build_call(n, rows_total, vb, t_blocks, b_voice, l,
                        u.dtype.name, interpret)
-    return call(jnp.asarray(q, jnp.int32).reshape(1), u, ext2)
+    return call(jnp.asarray(q, jnp.int32).reshape(1), u,
+                specs.astype(jnp.float32), ext2)

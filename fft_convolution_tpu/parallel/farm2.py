@@ -384,19 +384,21 @@ def _tail_corr_phased_fused(cfg: uniform.UniformConfig,
     q = state.current
     m0 = _lane0_fused(v * bs, bs)
 
-    # base sums acc[t] = sum_x U[x] (*) ext2[q+t+x] — the HBM-bound bulk.
-    # mac="pallas"/"pallas_interpret" routes it through the single-pass
-    # kernel (ops/pallas_farm_mac.py: ring + window read ONCE for all T
-    # steps); mac="jnp" is the portable reference formulation.
+    vb = v * bs
     if mac in ("pallas", "pallas_interpret"):
-        from ..ops.pallas_farm_mac import phased_mac
+        # the single-pass kernel does the WHOLE step — base sums,
+        # corrections (ring rows mask-reduced in VMEM), and the
+        # pre_multiplied accumulator — ops/pallas_farm_mac.py documents
+        # why every piece of the jnp formulation is slow on TPU
+        from ..ops.pallas_farm_mac import phased_step
 
-        base = phased_mac(u, ext2, q, t_blocks, bs,
-                          interpret=(mac == "pallas_interpret"))
+        convs, pre = phased_step(u, ext2, specs, q, bs,
+                                 interpret=(mac == "pallas_interpret"))
     else:
-        # per-step dynamic windows: XLA fuses each slice into its consumer
-        # (a shared materialized window was measured to cost a full-window
-        # HLO temp PLUS a relayout copy of it — 5.6 GB at 131 voices)
+        # base sums acc[t] = sum_x U[x] (*) ext2[q+t+x], per-step dynamic
+        # windows: XLA fuses each slice into its consumer (a shared
+        # materialized window was measured to cost a full-window HLO temp
+        # PLUS a relayout copy of it — 5.6 GB at 131 voices)
         base = jnp.stack([
             _pmul_sum_fused(
                 jax.lax.dynamic_slice_in_dim(ext2, q + t, n, axis=1), u, m0
@@ -404,50 +406,51 @@ def _tail_corr_phased_fused(cfg: uniform.UniformConfig,
             for t in range(t_blocks)
         ])
 
-    # corrections, planes-separate: every read of the big arrays here is a
-    # single (plane, row) 1-D extraction — contiguous in the default
-    # layout, so no layout preference propagates back.  A [2, VB]-shaped
-    # ``ext2[:, t-s]`` slice made XLA relayout-copy the ENTIRE table into
-    # a plane-on-sublanes layout (a [2, 192, VB] HLO temp, ~8 ms of HBM
-    # traffic at 128 voices), and pre-slicing did not help (XLA propagates
-    # layout through slices).
-    vb = v * bs
+        # corrections, planes-separate: every read of the big arrays here
+        # is a single (plane, row) 1-D extraction — contiguous in the
+        # default layout, so no layout preference propagates back.  A
+        # [2, VB]-shaped ``ext2[:, t-s]`` slice made XLA relayout-copy the
+        # ENTIRE table into a plane-on-sublanes layout (a [2, 192, VB]
+        # HLO temp, ~8 ms of HBM traffic at 128 voices), and pre-slicing
+        # did not help (XLA propagates layout through slices).
+        def row1(a, plane, r):
+            """a[plane, r] as a 1-D f32 [VB] read (r may be traced)."""
+            return jax.lax.dynamic_slice(
+                a, (plane, r, 0) if isinstance(r, int) else
+                   (jnp.asarray(plane, jnp.int32), r,
+                    jnp.asarray(0, jnp.int32)),
+                (1, 1, vb),
+            ).reshape(vb).astype(jnp.float32)
 
-    def row1(a, plane, r):
-        """a[plane, r] as a 1-D f32 [VB] read (r may be traced)."""
-        return jax.lax.dynamic_slice(
-            a, (plane, r, 0) if isinstance(r, int) else
-               (jnp.asarray(plane, jnp.int32), r, jnp.asarray(0, jnp.int32)),
-            (1, 1, vb),
-        ).reshape(vb).astype(jnp.float32)
+        convs = []
+        for t in range(t_blocks):
+            acc_re, acc_im = base[t, 0], base[t, 1]
+            for s in range(t + 1):
+                row_s = jnp.mod(n - q - s, n)
+                dre = specs[s, 0] - row1(u, 0, row_s)
+                dim = specs[s, 1] - row1(u, 1, row_s)
+                kr = row1(ext2, 0, t - s)
+                ki = row1(ext2, 1, t - s)
+                cross = dim * ki
+                acc_re = acc_re + dre * kr - cross * (1.0 - m0)
+                acc_im = (acc_im + (dre * ki + dim * kr) * (1.0 - m0)
+                          + cross * m0)
+            convs.append(jnp.stack([acc_re, acc_im]))
+        convs = jnp.stack(convs)                      # [T, 2, VB]
 
-    convs = []
-    for t in range(t_blocks):
-        acc_re, acc_im = base[t, 0], base[t, 1]
-        for s in range(t + 1):
-            row_s = jnp.mod(n - q - s, n)
-            dre = specs[s, 0] - row1(u, 0, row_s)
-            dim = specs[s, 1] - row1(u, 1, row_s)
-            kr = row1(ext2, 0, t - s)
-            ki = row1(ext2, 1, t - s)
-            cross = dim * ki
-            acc_re = acc_re + dre * kr - cross * (1.0 - m0)
-            acc_im = acc_im + (dre * ki + dim * kr) * (1.0 - m0) + cross * m0
-        convs.append(jnp.stack([acc_re, acc_im]))
-    convs = jnp.stack(convs)                          # [T, 2, VB]
+        k0r, k0i = row1(ext2, 0, 0), row1(ext2, 1, 0)
+        sr, si = specs[-1, 0], specs[-1, 1]
+        cross0 = si * k0i
+        pre = convs[-1] - jnp.stack([
+            sr * k0r - cross0 * (1.0 - m0),
+            (sr * k0i + si * k0r) * (1.0 - m0) + cross0 * m0,
+        ])
 
     for s in range(t_blocks):
         row_s = jnp.mod(n - q - s, n)
         u = jax.lax.dynamic_update_slice_in_dim(
             u, specs[s][:, None].astype(u.dtype), row_s, axis=1
         )
-    k0r, k0i = row1(ext2, 0, 0), row1(ext2, 1, 0)
-    sr, si = specs[-1, 0], specs[-1, 1]
-    cross0 = si * k0i
-    pre = convs[-1] - jnp.stack([
-        sr * k0r - cross0 * (1.0 - m0),
-        (sr * k0i + si * k0r) * (1.0 - m0) + cross0 * m0,
-    ])
 
     outs = irdft_block(
         jnp.swapaxes(convs.reshape(t_blocks, 2, v, bs), 1, 2), cfg.fft_size,
