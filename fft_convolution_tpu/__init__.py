@@ -26,6 +26,7 @@ __all__ = [
     "PallasTwoStageConvolver",
     "ShardedFFTConvolver",
     "ShardedTwoStageConvolver",
+    "ReverbFarm",
 ]
 
 
@@ -49,4 +50,7 @@ def __getattr__(name):
     if name == "ShardedTwoStageConvolver":
         from .parallel.two_stage_sp import ShardedTwoStageConvolver
         return ShardedTwoStageConvolver
+    if name == "ReverbFarm":
+        from .api_farm import ReverbFarm
+        return ReverbFarm
     raise AttributeError(name)

@@ -1,0 +1,173 @@
+"""ReverbFarm — the production many-voice serving engine, as a stateful
+wrapper over :mod:`parallel.farm2`.
+
+The reference crate is single-voice (``src/fft_convolver.rs`` is
+single-threaded; its only nod to scale is the "background thread" comment
+at ``:478``); the farm is this framework's own scale story: V two-stage
+voices with DISTINCT long IRs batched on one chip — fused head/tail0
+streams, the fused-voice phased big tail served by the single-pass Pallas
+step kernel, ~4,300 realtime 60 s voices per v5e chip at f32 (or ~1.4x
+the voices at bf16 tail storage).
+
+Contract mirrors the per-voice :class:`TwoStageFFTConvolver` where it
+can: ``process`` streams audio, ``update`` is the batched RT-safe IR swap
+(the reference ``update`` is ``todo!()``, so this matches
+``update_extension`` semantics), ``reset`` clears input state and keeps
+the IR tables, ``snapshot``/``restore``/``clone`` are plain pytree value
+copies (the ``Clone`` surface).  The farm-specific constraint: ``process``
+consumes whole tail PERIODS (``T`` a multiple of ``period`` blocks) — the
+aligned decomposition's invariant, checked eagerly.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .models import two_stage
+from .parallel import farm2
+
+
+class ReverbFarm:
+    """V-voice two-stage convolution farm on one chip (or a ``('dp',)``
+    mesh via ``mesh=``).
+
+    Parameters
+    ----------
+    irs : [V, ir_len] float array — one impulse response per voice.
+    block_size : head block size in samples (power of two).
+    max_response_length : IR capacity per voice; ``update`` accepts any
+        length up to this.
+    tail_dtype : ``jnp.float32`` (default) or ``jnp.bfloat16`` — bf16
+        stores the big tail's IR table and spectra ring at half the
+        memory (~1.4x voices/chip) with a ~1e-3 relative tolerance on
+        the tail contribution.
+    tail_mac : "auto" (Pallas step kernel on TPU, jnp core elsewhere),
+        "pallas", "pallas_interpret", or "jnp".
+    mesh : optional ``jax.sharding.Mesh`` with a ``"dp"`` axis — the
+        state shards over voices (``V`` must divide by the mesh size).
+    """
+
+    def __init__(self, irs, block_size: int, max_response_length: int,
+                 *, tail_dtype=jnp.float32, tail_mac: str = "auto",
+                 mesh=None):
+        irs = np.asarray(irs, np.float32)
+        if irs.ndim != 2:
+            raise ValueError("irs must be [voices, ir_len]")
+        self.cfg, state = farm2.farm2_init(
+            irs, block_size, max_response_length, tail_dtype=tail_dtype
+        )
+        if tail_mac == "auto":
+            tail_mac = (
+                "pallas" if jax.devices()[0].platform == "tpu" else "jnp"
+            )
+        self._tail_mac = tail_mac
+        self.voices = irs.shape[0]
+        self.block_size = self.cfg.head_block
+        self.max_response_length = max_response_length
+        self.mesh = mesh
+        if mesh is not None:
+            state = farm2.farm2_shard(mesh, state)
+        self.state = state
+        self._stream = jax.jit(functools.partial(
+            farm2.farm2_stream, self.cfg, tail_mac=tail_mac
+        ))
+        self._update = jax.jit(
+            functools.partial(farm2.farm2_update, self.cfg),
+            donate_argnums=(0,),
+        )
+
+    @property
+    def period(self) -> int:
+        """Head blocks per tail period — ``process`` length granularity."""
+        return self.cfg.period
+
+    @property
+    def tail_block(self) -> int:
+        return self.cfg.tail_block
+
+    def process(self, blocks) -> np.ndarray:
+        """Stream ``[T, V, block_size]`` -> ``[T, V, block_size]``;
+        ``T`` must be a positive multiple of ``period``."""
+        blocks = jnp.asarray(blocks, jnp.float32)
+        t = blocks.shape[0]
+        if blocks.ndim != 3 or blocks.shape[1] != self.voices or \
+                blocks.shape[2] != self.block_size:
+            raise ValueError(
+                f"expected [T, {self.voices}, {self.block_size}] blocks, "
+                f"got {blocks.shape}"
+            )
+        if t == 0 or t % self.period != 0:
+            raise ValueError(
+                f"T={t} must be a positive multiple of the tail period "
+                f"({self.period} blocks) — the aligned farm consumes whole "
+                "tail periods"
+            )
+        self.state, y = self._stream(self.state, blocks)
+        return y
+
+    def update(self, new_irs) -> None:
+        """Batched RT-safe IR swap at a period boundary: keeps every
+        voice's input history, zeroes pending tail outputs
+        (``TwoStageFFTConvolver.update_extension`` semantics per voice;
+        reference ``update`` is ``todo!()``, ``src/fft_convolver.rs:408``).
+        """
+        new_irs = np.asarray(new_irs, np.float32)
+        if new_irs.shape[0] != self.voices:
+            raise ValueError(
+                f"expected {self.voices} new responses, got {new_irs.shape[0]}"
+            )
+        if new_irs.shape[1] > self.max_response_length:
+            raise ValueError(
+                f"new responses ({new_irs.shape[1]}) exceed the farm's "
+                f"response capacity ({self.max_response_length})"
+            )
+        self.state = self._update(self.state, jnp.asarray(new_irs))
+
+    def reset(self) -> None:
+        """Clear all input state; keep the IR tables
+        (``FFTConvolver::reset`` semantics, ``src/fft_convolver.rs:296``)."""
+        st = self.state
+
+        def zero(leaf):
+            return jnp.zeros_like(leaf)
+
+        def reset_stage(stage):
+            return stage._replace(
+                segments=zero(stage.segments),
+                overlap=zero(stage.overlap),
+                input_buffer=zero(stage.input_buffer),
+                pre_multiplied=zero(stage.pre_multiplied),
+                current=zero(stage.current),
+                input_fill=zero(stage.input_fill),
+            )
+
+        self.state = st._replace(
+            head=reset_stage(st.head),
+            tail0=reset_stage(st.tail0),
+            tail=reset_stage(st.tail),
+            tail_output0=zero(st.tail_output0),
+            tail_precalc0=zero(st.tail_precalc0),
+            tail_output=zero(st.tail_output),
+            tail_precalc=zero(st.tail_precalc),
+            tail_input=zero(st.tail_input),
+            tail_fill=zero(st.tail_fill),
+            precalc_pos=zero(st.precalc_pos),
+        )
+
+    # --- Clone surface (reference `Clone`, pytree state is a value) -------
+    def snapshot(self) -> two_stage.TwoStageState:
+        return jax.tree.map(jnp.copy, self.state)
+
+    def restore(self, snap: two_stage.TwoStageState) -> None:
+        self.state = jax.tree.map(jnp.copy, snap)
+
+    def clone(self) -> "ReverbFarm":
+        c = object.__new__(ReverbFarm)
+        c.__dict__.update(self.__dict__)
+        c.state = self.snapshot()
+        return c

@@ -213,9 +213,11 @@ def test_farm2_sharded_matches_unsharded():
 
 
 def test_farm2_pallas_tail_mac_matches_jnp():
-    """The single-pass Pallas tail MAC (ops/pallas_farm_mac.py, interpret
+    """The full-step Pallas tail kernel (ops/pallas_farm_mac.py, interpret
     mode here) must reproduce the jnp phased correlation core across calls
-    (phase walks, DC-lane mask per fused voice)."""
+    of VARYING length (q = 2, 1, 4, 3 tail periods per call — the phase
+    walks every residue; production always streams q = 2 but the kernel
+    is generic up to the table-head DMA rows)."""
     from fft_convolution_tpu.parallel import farm2
 
     rng = np.random.default_rng(27)
@@ -224,20 +226,26 @@ def test_farm2_pallas_tail_mac_matches_jnp():
     irs = rng.standard_normal((v, ir_len)).astype(np.float32) * 0.05
     cfg, state = farm2.farm2_init(irs, b, ir_len)
     assert cfg.tail is not None
-    t = 2 * cfg.period
+    p = cfg.period
 
     run_ref = jax.jit(functools.partial(farm2.farm2_stream, cfg))
     run_pl = jax.jit(functools.partial(
         farm2.farm2_stream, cfg, tail_mac="pallas_interpret"
     ))
     state_pl = jax.tree.map(jnp.copy, state)
-    for call in range(3):
-        x = rng.standard_normal((t, v, b)).astype(np.float32)
+    for call, periods in enumerate([2, 1, 4, 3]):
+        x = rng.standard_normal((periods * p, v, b)).astype(np.float32)
         state, y_ref = run_ref(state, jnp.asarray(x))
         state_pl, y_pl = run_pl(state_pl, jnp.asarray(x))
         np.testing.assert_allclose(
             np.asarray(y_pl), np.asarray(y_ref), atol=1e-5,
-            err_msg=f"call {call}",
+            err_msg=f"call {call} ({periods} periods)",
+        )
+        # kernel and jnp accumulate in different orders; pre values are
+        # O(sum of spectra) so compare at f32-roundoff relative tolerance
+        np.testing.assert_allclose(
+            np.asarray(state_pl.tail.pre_multiplied),
+            np.asarray(state.tail.pre_multiplied), rtol=1e-4, atol=1e-4,
         )
 
 
