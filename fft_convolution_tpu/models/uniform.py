@@ -402,9 +402,21 @@ def _stream_conv(cfg: UniformConfig, state: UniformState,
 
     # activity-masked kernel; the MAC over the whole stream runs as a
     # second DFT along the block axis (ops.fft.causal_conv_time) — all MXU
-    # matmuls, vs ~100 GFLOPS for the grouped-conv HLO lowering
-    i = jnp.arange(n, dtype=jnp.int32)
-    kern = jnp.where((i < active)[:, None, None], state.segments_ir, 0.0)
+    # matmuls, vs ~100 GFLOPS for the grouped-conv HLO lowering.
+    # The mask materializes a full copy of the IR table (the flagship
+    # program's single biggest op by HLO cost estimate), so the common
+    # full-ring case skips it behind a scalar cond.
+    if assume_full_ring:
+        kern = state.segments_ir
+    else:
+        i = jnp.arange(n, dtype=jnp.int32)
+        kern = jax.lax.cond(
+            active == n,
+            lambda: state.segments_ir,
+            lambda: jnp.where(
+                (i < active)[:, None, None], state.segments_ir, 0.0
+            ),
+        )
     convs = causal_conv_time(ext, kern, t)                   # [T, 2, B]
 
     # rebuild the ring: current' points at the NEXT write slot; slot at
