@@ -28,7 +28,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .models import two_stage
+from .models import two_stage, uniform
 from .parallel import farm2
 
 
@@ -62,8 +62,20 @@ class ReverbFarm:
             irs, block_size, max_response_length, tail_dtype=tail_dtype
         )
         if tail_mac == "auto":
+            # pallas_call has no SPMD partitioning rule: under a mesh the
+            # fused-voice jnp core (which GSPMD shards cleanly) is the
+            # supported tail MAC
             tail_mac = (
-                "pallas" if jax.devices()[0].platform == "tpu" else "jnp"
+                "pallas"
+                if mesh is None and jax.devices()[0].platform == "tpu"
+                else "jnp"
+            )
+        if mesh is not None and tail_mac != "jnp":
+            raise ValueError(
+                f"tail_mac={tail_mac!r} is not supported with mesh=: the "
+                "Pallas tail kernel has no SPMD partitioning rule, so a "
+                "sharded farm would replicate the multi-GB tail table. "
+                "Use tail_mac='jnp' (or 'auto') with a mesh."
             )
         self._tail_mac = tail_mac
         self.voices = irs.shape[0]
@@ -73,9 +85,25 @@ class ReverbFarm:
         if mesh is not None:
             state = farm2.farm2_shard(mesh, state)
         self.state = state
-        self._stream = jax.jit(functools.partial(
-            farm2.farm2_stream, self.cfg, tail_mac=tail_mac
-        ))
+        # per-call block ceiling: the phased tail core consumes whole
+        # periods and supports a bounded number per call (the correction
+        # indices / Pallas table-head DMA assume it) — enforced eagerly in
+        # process() so users get a ValueError, not an in-trace assert
+        if self.cfg.tail is not None:
+            q_max = min(self.cfg.tail.seg_count, uniform.CORR_EXTRA_ROWS)
+            if tail_mac in ("pallas", "pallas_interpret"):
+                q_max = min(q_max, 16 if tail_dtype == jnp.bfloat16 else 8)
+            self.max_blocks_per_call = q_max * self.cfg.period
+        else:
+            self.max_blocks_per_call = None
+        # donated state: the stream's in-place ring-row writes are the
+        # point of the roll-free phased core — without donation every call
+        # copies the multi-GB tail ring (snapshot/restore/clone already
+        # copy, so no live aliases remain)
+        self._stream = jax.jit(
+            functools.partial(farm2.farm2_stream, self.cfg, tail_mac=tail_mac),
+            donate_argnums=(0,),
+        )
         self._update = jax.jit(
             functools.partial(farm2.farm2_update, self.cfg),
             donate_argnums=(0,),
@@ -92,7 +120,9 @@ class ReverbFarm:
 
     def process(self, blocks) -> np.ndarray:
         """Stream ``[T, V, block_size]`` -> ``[T, V, block_size]``;
-        ``T`` must be a positive multiple of ``period``."""
+        ``T`` must be a positive multiple of ``period`` and at most
+        ``max_blocks_per_call`` (the phased tail core's per-call bound —
+        split longer streams into consecutive calls)."""
         blocks = jnp.asarray(blocks, jnp.float32)
         t = blocks.shape[0]
         if blocks.ndim != 3 or blocks.shape[1] != self.voices or \
@@ -107,8 +137,17 @@ class ReverbFarm:
                 f"({self.period} blocks) — the aligned farm consumes whole "
                 "tail periods"
             )
+        if self.max_blocks_per_call is not None and \
+                t > self.max_blocks_per_call:
+            raise ValueError(
+                f"T={t} exceeds the farm's per-call ceiling of "
+                f"{self.max_blocks_per_call} blocks "
+                f"({self.max_blocks_per_call // self.period} tail periods "
+                f"with tail_mac={self._tail_mac!r}) — split the stream "
+                "into consecutive process() calls"
+            )
         self.state, y = self._stream(self.state, blocks)
-        return y
+        return np.asarray(y)
 
     def update(self, new_irs) -> None:
         """Batched RT-safe IR swap at a period boundary: keeps every

@@ -84,6 +84,37 @@ def test_reverb_farm_contracts():
         ReverbFarm(np.zeros(100, np.float32), 64, 100)  # 1-D irs
 
 
+def test_reverb_farm_per_call_ceiling():
+    """T beyond the phased core's per-call bound is a clean ValueError
+    (not an in-trace AssertionError), and exactly-at-ceiling still works."""
+    farm, irs, rng = _farm(seed=36)
+    assert farm.max_blocks_per_call is not None
+    assert farm.max_blocks_per_call % farm.period == 0
+    too_long = farm.max_blocks_per_call + farm.period
+    with pytest.raises(ValueError, match="per-call ceiling"):
+        farm.process(np.zeros((too_long, farm.voices, farm.block_size),
+                              np.float32))
+    x = rng.standard_normal(
+        (farm.max_blocks_per_call, farm.voices, farm.block_size)
+    ).astype(np.float32)
+    y = farm.process(x)
+    assert isinstance(y, np.ndarray) and y.shape == x.shape
+
+
+def test_reverb_farm_mesh_rejects_pallas():
+    """The Pallas tail kernel has no SPMD rule: pallas+mesh must raise
+    eagerly, and 'auto' must resolve to the jnp core under a mesh."""
+    from fft_convolution_tpu.parallel import farm as farm_mod
+
+    mesh = farm_mod.make_farm_mesh()
+    v = mesh.devices.size
+    irs = np.zeros((v, 9000), np.float32)
+    with pytest.raises(ValueError, match="Pallas"):
+        ReverbFarm(irs, 64, 9000, mesh=mesh, tail_mac="pallas")
+    farm = ReverbFarm(irs, 64, 9000, mesh=mesh, tail_mac="auto")
+    assert farm._tail_mac == "jnp"
+
+
 def test_reverb_farm_on_mesh():
     from fft_convolution_tpu.parallel import farm as farm_mod
 

@@ -260,7 +260,6 @@ def test_farm2_bf16_tail_close_to_f32():
     v, b = 2, 64
     ir_len = 9000
     irs = rng.standard_normal((v, ir_len)).astype(np.float32) * 0.05
-    x = rng.standard_normal((0, v, b)).astype(np.float32)
 
     cfg_f, state_f = farm2.farm2_init(irs, b, ir_len)
     cfg_b, state_b = farm2.farm2_init(irs, b, ir_len, tail_dtype=jnp.bfloat16)
