@@ -7,12 +7,23 @@ reports xRT = audio_seconds / wall_seconds.  ``vs_baseline`` is the ratio
 against the 1000x north-star target (the reference publishes no numbers —
 BASELINE.md).
 
+Correctness gates (all ON the benchmarked hardware, each fetched as one
+scalar): the jnp stream vs a float64 ``np.convolve`` golden, and every
+Pallas serving kernel vs its jnp reference — the uniform fused step, the
+fused two-stage step, the grid-streaming kernel, and a small farm2
+``tail_mac="pallas"`` vs ``"jnp"`` run.  A kernel writing garbage fails the
+JSON line loudly instead of posting a latency number (interpret-mode tests
+cannot catch hardware aliasing divergences — CLAUDE.md, Pallas/Mosaic).
+
 Measurement methodology: the TPU here sits behind a relay whose
 ``block_until_ready`` does not reliably block and whose bulk fetches are
 slow, so every timed region CHAINS the state dependency across iterations
 and forces execution with a single scalar-reduction fetch at the end — the
 device must run every step to produce the scalar, and only 4 bytes cross
-the link inside the timed region.
+the link inside the timed region.  The relay also degrades transiently
+(tiny ops taking ~40 s): every two-point slope checks its implied per-call
+intercept against the ~25 ms relay constant and re-measures after a pause
+when the window looks degraded, reporting every attempt.
 
 Prints ONE JSON line on stdout; diagnostics go to stderr.
 """
@@ -27,12 +38,67 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+def fail(reason: str) -> None:
+    print(json.dumps({
+        "metric": "xRT_flagship_block128_10s_ir",
+        "value": 0.0, "unit": "x_realtime", "vs_baseline": 0.0,
+        "error": reason,
+    }))
+
+
+# per-attempt intercepts beyond this imply a degraded relay window for a
+# chain of <= ~20 dispatch+fetch pairs at the ~25 ms healthy constant
+_MAX_INTERCEPT_S = 1.5
+_RETRY_PAUSE_S = 45.0
+
+
+def slope_timed(build, c1: int, c2: int, label: str, retries: int = 2):
+    """Two-point slope with relay-degradation hygiene.
+
+    ``build(c)`` returns a nullary callable running a c-long chained
+    program and forcing it with a scalar fetch; returns its wall time.
+    Takes the slope of best-of-3 timings at c1 and c2; if the implied
+    per-call intercept exceeds the healthy relay constant, pauses and
+    re-measures, keeping the attempt with the smallest intercept.
+    """
+    run1, run2 = build(c1), build(c2)
+
+    def best_of(run):
+        run()  # warm (compile + cache)
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            run()
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    attempts = []
+    for attempt in range(retries + 1):
+        t_1, t_2 = best_of(run1), best_of(run2)
+        slope = max((t_2 - t_1) / (c2 - c1), 1e-9)
+        intercept = t_1 - slope * c1
+        attempts.append((intercept, slope, t_1, t_2))
+        if intercept <= _MAX_INTERCEPT_S:
+            break
+        if attempt < retries:
+            log(f"{label}: relay window looks degraded (implied per-call "
+                f"constant {intercept:.2f} s >> ~25 ms) — pausing "
+                f"{_RETRY_PAUSE_S:.0f} s and re-measuring "
+                f"(attempt {attempt + 1}/{retries + 1})")
+            time.sleep(_RETRY_PAUSE_S)
+    intercept, slope, t_1, t_2 = min(attempts)
+    if len(attempts) > 1:
+        log(f"{label}: kept attempt with intercept {intercept:.2f} s of "
+            f"{[round(a[0], 2) for a in attempts]}")
+    return slope, (t_1, t_2)
+
+
 def main() -> None:
     import jax
     import jax.numpy as jnp
     import numpy as np
 
-    from fft_convolution_tpu.models import two_stage
+    from fft_convolution_tpu.models import two_stage, uniform
 
     sr = 48000
     block = 128
@@ -42,7 +108,6 @@ def main() -> None:
     # timing chains of c1 and c2 iterations and taking the slope cancels
     # every per-call constant, leaving pure device time
     c1, c2 = 2, 18
-    chain = c2
 
     rng = np.random.default_rng(0)
     ir = (rng.standard_normal(ir_seconds * sr) * 0.01).astype(np.float32)
@@ -87,27 +152,126 @@ def main() -> None:
     err = float(np.abs(got[:n_check] - exp).max())
     log(f"parity vs direct convolution (first {n_check} samples): {err:.3e}")
     if err > 1e-4:
-        print(json.dumps({
-            "metric": "xRT_flagship_block128_10s_ir",
-            "value": 0.0, "unit": "x_realtime", "vs_baseline": 0.0,
-            "error": f"parity failure {err:.3e}",
-        }))
+        fail(f"parity failure {err:.3e}")
         return
 
-    # timed region: two-point slope over chained streams
-    def timed(run):
-        s_c, v, _h = run(state, x)  # warm
-        _ = float(v)
-        best = float("inf")
-        for _i in range(3):
-            t0 = time.perf_counter()
-            s_c, v, _h = run(state, x)
-            _ = float(v)
-            best = min(best, time.perf_counter() - t0)
-        return best
+    # ---- Pallas on-hardware parity gates --------------------------------
+    # every serving kernel's output vs its jnp reference, computed ON the
+    # device and fetched as one scalar each (VERDICT r2 #1: interpret-mode
+    # parity provably misses hardware aliasing bugs)
+    from fft_convolution_tpu.ops import pallas_engine, pallas_stream
+    from fft_convolution_tpu import serving
+    from fft_convolution_tpu.parallel import farm2
 
-    t_1, t_2 = timed(chain1), timed(chain2)
-    wall = max((t_2 - t_1) / (c2 - c1), 1e-9)
+    on_tpu = jax.devices()[0].platform == "tpu"
+    interp = not on_tpu
+    pallas_parity = {}
+    n_gate = 2 * cfg.period  # cover full tail periods
+
+    t0 = time.perf_counter()
+    ucfg, ustate = uniform.init(ir, block, len(ir))
+    uconsts, upstate = pallas_engine.from_uniform(ucfg, ustate)
+
+    @jax.jit
+    def gate_uniform(ps, us, xs):
+        def body(carry, xb):
+            ps, us = carry
+            ps2, yp = pallas_engine.block_step(
+                ucfg, uconsts, ps, xb, interpret=interp
+            )
+            us2, yj = uniform.process_block(ucfg, us, xb)
+            return (ps2, us2), jnp.max(jnp.abs(yp - yj))
+        _, errs = jax.lax.scan(body, (ps, us), xs)
+        return jnp.max(errs)
+
+    pallas_parity["uniform_step"] = float(
+        gate_uniform(upstate, ustate, x[:n_gate])
+    )
+
+    tconv = serving.PallasTwoStageConvolver(ir, block, len(ir),
+                                            interpret=interp)
+    tstep = tconv._step_fn()
+    p = tconv.cfg.period
+
+    @jax.jit
+    def gate_two_stage(fs, tls, bufs, st, xs):
+        def body(carry, xb):
+            fs, tls, bufs, st, row = carry
+            fs, tls, bufs, yp = tstep(fs, tls, bufs, row, xb)
+            st, yj = two_stage.process_block(cfg, st, xb)
+            row = jnp.mod(row + 1, p)
+            return (fs, tls, bufs, st, row), jnp.max(jnp.abs(yp - yj))
+        carry0 = (fs, tls, bufs, st, jnp.zeros((), jnp.int32))
+        _, errs = jax.lax.scan(body, carry0, xs)
+        return jnp.max(errs)
+
+    pallas_parity["two_stage_step"] = float(gate_two_stage(
+        tconv.fstate, tconv.tail_state, tconv.buffers, state, x[:n_gate]
+    ))
+
+    sconv = serving.PallasStreamingConvolver(ir, block, len(ir),
+                                             interpret=interp)
+    scfg = sconv.cfg
+    _, sustate = uniform.init(ir, block, scfg.seg_count * scfg.block_size)
+
+    @jax.jit
+    def gate_stream(ss, us, xs):
+        ss2, yp = pallas_stream.stream(
+            scfg, sconv.consts, ss, xs, chunk=sconv._chunk, interpret=interp
+        )
+        def body(us, xb):
+            return uniform.process_block(scfg, us, xb)
+        _, yj = jax.lax.scan(body, us, xs)
+        return jnp.max(jnp.abs(
+            jnp.reshape(yp, (-1,)) - jnp.reshape(yj, (-1,))
+        ))
+
+    pallas_parity["grid_stream"] = float(
+        gate_stream(sconv.state, sustate, x[:n_gate])
+    )
+
+    # small farm: tail_mac pallas vs jnp on identical state (V=4, 4 s IRs)
+    irs_f = (rng.standard_normal((4, 4 * sr)) * 0.01).astype(np.float32)
+    fcfg, fstate = farm2.farm2_init(irs_f, block, irs_f.shape[1])
+    xf = jnp.asarray(
+        rng.standard_normal((2 * fcfg.period, 4, block)).astype(np.float32)
+    )
+    farm_mac = "pallas" if on_tpu else "pallas_interpret"
+
+    @jax.jit
+    def gate_farm(st, xs):
+        # two chained calls: the big tail's contribution is two periods
+        # delayed, so only the SECOND call's output exposes the Pallas
+        # tail MAC — a single call would compare zeros against zeros
+        st_p, yp1 = farm2.farm2_stream(fcfg, st, xs, tail_mac=farm_mac)
+        _, yp2 = farm2.farm2_stream(fcfg, st_p, xs, tail_mac=farm_mac)
+        st_j, yj1 = farm2.farm2_stream(fcfg, st, xs, tail_mac="jnp")
+        _, yj2 = farm2.farm2_stream(fcfg, st_j, xs, tail_mac="jnp")
+        dmax = jnp.maximum(jnp.max(jnp.abs(yp1 - yj1)),
+                           jnp.max(jnp.abs(yp2 - yj2)))
+        return dmax / jnp.max(jnp.abs(yj2))
+
+    pallas_parity["farm_tail_rel"] = float(gate_farm(fstate, xf))
+
+    log(f"pallas on-{'tpu' if on_tpu else 'cpu(interpret)'} parity gates "
+        f"({time.perf_counter() - t0:.1f} s): " +
+        ", ".join(f"{k}={v:.3e}" for k, v in pallas_parity.items()))
+    gate_tols = {"uniform_step": 1e-4, "two_stage_step": 1e-4,
+                 "grid_stream": 1e-4, "farm_tail_rel": 2e-4}
+    for k, v in pallas_parity.items():
+        if not (v <= gate_tols[k]):  # catches NaN too
+            fail(f"pallas kernel parity failure: {k}={v:.3e}")
+            return
+
+    # ---- timed region: two-point slope over chained streams -------------
+    def build_stream_runner(c):
+        chain = {c1: chain1, c2: chain2}.get(c) or build_chain(c)
+        def run():
+            _s, v, _h = chain(state, x)
+            _ = float(v)
+        return run
+
+    wall, (t_1, t_2) = slope_timed(build_stream_runner, c1, c2, "stream xRT")
     audio = t_blocks * block / sr
     xrt = audio / wall
     log(f"stream: {wall*1e3:.3f} ms device time per {audio:.2f} s audio "
@@ -115,14 +279,30 @@ def main() -> None:
         f"raw totals {t_1*1e3:.1f}/{t_2*1e3:.1f} ms)")
 
     # roofline: where the flagship sits relative to the silicon, not just
-    # relative to real time (algorithmic FLOPs/bytes of the stream program)
+    # relative to real time.  Two byte accountings: algorithmic (what the
+    # math requires) and the compiled HLO cost model's bytes-accessed
+    # (anchors the algorithmic estimate against what XLA actually emits).
     from fft_convolution_tpu.utils import roofline
 
     util = roofline.utilization(
         roofline.two_stage_stream_cost(cfg, t_blocks), wall
     )
-    log(f"roofline: {util['gflops']:.0f} GFLOP/s ({util['mfu']*100:.2f}% MFU), "
-        f"{util['gbps']:.0f} GB/s ({util['hbm_util']*100:.1f}% HBM)")
+    log(f"roofline (algorithmic): {util['gflops']:.0f} GFLOP/s "
+        f"({util['mfu']*100:.2f}% MFU), {util['gbps']:.0f} GB/s "
+        f"({util['hbm_util']*100:.1f}% HBM)")
+    hbm_util_hlo = None
+    try:
+        ca = chain2.lower(state, x).compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        hlo_bytes = float(ca.get("bytes accessed", 0.0)) / c2
+        if hlo_bytes > 0:
+            hbm_util_hlo = hlo_bytes / wall / roofline.PEAK_HBM_BPS
+            log(f"roofline (HLO cost model): {hlo_bytes/1e6:.0f} MB/stream, "
+                f"{hlo_bytes/wall/1e9:.0f} GB/s "
+                f"({hbm_util_hlo*100:.1f}% HBM)")
+    except Exception as e:  # noqa: BLE001 - backend may not expose it
+        log(f"HLO cost analysis unavailable: {e}")
 
     # per-block device latency (single-block serving path): two-point slope
     # over scanned single-block steps cancels the link constant here too
@@ -138,58 +318,51 @@ def main() -> None:
             return s_final, jnp.sum(sums)
         return step_chain
 
-    def timed_steps(run, n):
-        s3, v = run(state, x[:n])
-        _ = float(v)
-        best = float("inf")
-        for _i in range(3):
-            t0 = time.perf_counter()
-            s3, v = run(state, x[:n])
+    def build_steps_runner(n):
+        chainn = build_steps(n)
+        xs = x[:n]
+        def run():
+            _s, v = chainn(state, xs)
             _ = float(v)
-            best = min(best, time.perf_counter() - t0)
-        return best
+        return run
 
-    tl1 = timed_steps(build_steps(n1), n1)
-    tl2 = timed_steps(build_steps(n2), n2)
-    p50_two_stage = max((tl2 - tl1) / (n2 - n1), 1e-9) * 1e3
+    lat_slope, (tl1, tl2) = slope_timed(
+        build_steps_runner, n1, n2, "two-stage latency"
+    )
+    p50_two_stage = lat_slope * 1e3
     log(f"two-stage per-block device latency: {p50_two_stage:.4f} ms "
         f"(raw totals {tl1*1e3:.1f}/{tl2*1e3:.1f} ms over {n1}/{n2} blocks)")
 
     # alternative serving path: the Pallas fused uniform engine handles the
     # same 10 s IR in one kernel dispatch per block (guarded: if the kernel
-    # path is unavailable, the two-stage figure stands alone)
+    # path is unavailable, the two-stage figure stands alone).  Its output
+    # was parity-gated above.
     p50_pallas = float("inf")
     try:
-        from fft_convolution_tpu.models import uniform
-        from fft_convolution_tpu.ops import pallas_engine
-
-        ucfg, ustate = uniform.init(ir, block, len(ir))
-        consts, pstate = pallas_engine.from_uniform(ucfg, ustate)
-
         def build_pallas(n):
             @jax.jit
             def run(ps, xs):
                 def body(s, xb):
-                    s2, y = pallas_engine.block_step(ucfg, consts, s, xb)
+                    s2, y = pallas_engine.block_step(
+                        ucfg, uconsts, s, xb, interpret=interp
+                    )
                     return s2, jnp.sum(y)
                 sf, sums = jax.lax.scan(body, ps, xs)
                 return sf, jnp.sum(sums)
             return run
 
-        def timed_pallas(run, n):
-            s3, v = run(pstate, x[:n])
-            _ = float(v)
-            best = float("inf")
-            for _i in range(3):
-                t0 = time.perf_counter()
-                s3, v = run(pstate, x[:n])
+        def build_pallas_runner(n):
+            runn = build_pallas(n)
+            xs = x[:n]
+            def run():
+                _s, v = runn(upstate, xs)
                 _ = float(v)
-                best = min(best, time.perf_counter() - t0)
-            return best
+            return run
 
-        tp1 = timed_pallas(build_pallas(n1), n1)
-        tp2 = timed_pallas(build_pallas(n2), n2)
-        p50_pallas = max((tp2 - tp1) / (n2 - n1), 1e-9) * 1e3
+        pal_slope, _raw = slope_timed(
+            build_pallas_runner, n1, n2, "pallas latency"
+        )
+        p50_pallas = pal_slope * 1e3
         log(f"pallas fused-kernel per-block latency: {p50_pallas:.4f} ms")
     except Exception as e:  # noqa: BLE001 - best-effort alternative path
         log(f"pallas serving path unavailable: {e}")
@@ -198,16 +371,21 @@ def main() -> None:
     log(f"per-block device latency (best serving path): {p50_ms:.4f} ms "
         f"(target < 1 ms)")
 
-    print(json.dumps({
+    out = {
         "metric": "xRT_flagship_block128_10s_ir",
         "value": round(xrt, 1),
         "unit": "x_realtime",
         "vs_baseline": round(xrt / 1000.0, 3),
         "p50_block_latency_ms": round(p50_ms, 4),
         "parity_max_abs_err": err,
+        "pallas_parity": {k: float(f"{v:.3e}") for k, v in
+                          pallas_parity.items()},
         "mfu": round(util["mfu"], 5),
         "hbm_util": round(util["hbm_util"], 4),
-    }))
+    }
+    if hbm_util_hlo is not None:
+        out["hbm_util_hlo"] = round(hbm_util_hlo, 4)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

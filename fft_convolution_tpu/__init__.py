@@ -24,6 +24,7 @@ __all__ = [
     "CrossfadeConvolver",
     "PallasFFTConvolver",
     "PallasTwoStageConvolver",
+    "PallasCrossfadeConvolver",
     "ShardedFFTConvolver",
     "ShardedTwoStageConvolver",
     "ReverbFarm",
@@ -44,6 +45,9 @@ def __getattr__(name):
     if name == "PallasTwoStageConvolver":
         from .serving import PallasTwoStageConvolver
         return PallasTwoStageConvolver
+    if name == "PallasCrossfadeConvolver":
+        from .serving import PallasCrossfadeConvolver
+        return PallasCrossfadeConvolver
     if name == "ShardedFFTConvolver":
         from .parallel.partition import ShardedFFTConvolver
         return ShardedFFTConvolver

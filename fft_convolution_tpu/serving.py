@@ -348,6 +348,191 @@ class PallasStreamingConvolver:
         return other
 
 
+@functools.lru_cache(maxsize=None)
+def _jit_xfade_step(cfg: uniform.UniformConfig, cf_cfg, interpret: bool):
+    from .models import crossfade
+    from .ops import pallas_crossfade
+
+    @jax.jit
+    def step(consts, state, cf, x):
+        state2, ya, yb = pallas_crossfade.block_step(
+            cfg, consts, state, x, interpret=interpret
+        )
+        cf2, y = crossfade.mix_block(cf_cfg, cf, ya, yb)
+        return state2, cf2, y
+
+    return step
+
+
+class PallasCrossfadeConvolver:
+    """Morph-while-serving: the fused A/B kernel + sample-accurate
+    crossfader, one device dispatch per block.
+
+    The serving-path counterpart of
+    :class:`~fft_convolution_tpu.api_crossfade.CrossfadeConvolver`
+    (``src/crossfade_convolver.rs:3-105``): both engines run every block
+    and the equal-power crossfader mixes per sample, but the two engines
+    share ONE input ring and ONE forward DFT inside a single Pallas kernel
+    (:mod:`ops.pallas_crossfade`) — the marginal cost over plain
+    :class:`PallasFFTConvolver` serving is one extra spectral MAC +
+    inverse DFT, not a second engine.
+
+    ``update`` is the RT-safe morph trigger: rebuilds the INACTIVE
+    engine's IR tables (fixed-shape jitted program) and fades toward it;
+    an update that lands mid-fade parks in the single pending-response
+    slot (``src/crossfade_convolver.rs:51-64``).
+
+    VMEM ceiling: ring + TWO doubled IR tables resident — about 60% of
+    :class:`PallasFFTConvolver`'s IR capacity.  For longer IRs compose
+    ``CrossfadeConvolver(PallasFFTConvolver(...))`` (same semantics,
+    three dispatches per block) or use the jnp engines.
+    """
+
+    def __init__(self, response, block_size: int, max_response_length: int,
+                 crossfade_samples: int, interpret: bool | None = None,
+                 mixer: str = "raised_cosine"):
+        from .models import crossfade
+        from .ops import pallas_crossfade
+
+        response = np.asarray(response, np.float32)
+        self.cfg = uniform.make_config(block_size, max_response_length)
+        if not pallas_crossfade.fits_vmem(self.cfg):
+            raise ValueError(
+                "A/B working set exceeds the VMEM budget; compose "
+                "CrossfadeConvolver(PallasFFTConvolver(...)) or use the "
+                "jnp engines for IRs this long"
+            )
+        if interpret is None:
+            interpret = jax.devices()[0].platform != "tpu"
+        self._interpret = interpret
+        _, state = uniform.init(response, block_size, max_response_length)
+        self.consts, self.state = pallas_crossfade.from_uniform(
+            self.cfg, state, state
+        )
+        # hold covers the (shared-ring) pipeline fill, reference formula
+        # hold = min(max_buffer_size, max_response_length) with the
+        # serving path's one-block buffer (src/crossfade_convolver.rs:28-41)
+        self.cf_cfg = crossfade.CrossfaderConfig(
+            fading_samples=crossfade_samples,
+            hold_samples=min(self.cfg.block_size, max_response_length),
+            mixer=mixer,
+        )
+        self.cf_state = crossfade.new_state(self.cf_cfg)
+        self.stored_response = np.zeros(max_response_length, np.float32)
+        self.response_pending = False
+
+    def is_crossfading(self) -> bool:
+        return bool(self.cf_state.approaching)
+
+    def _swap(self, response) -> None:
+        """Update the INACTIVE engine's tables + fade toward it
+        (``src/crossfade_convolver.rs:94-105``); the inactive overlap is
+        zeroed like ``FFTConvolver::update`` (``src/fft_convolver.rs:185``).
+        The shared ring (input history) is untouched — exactly the
+        click-free property the reference update preserves."""
+        from .models import crossfade
+
+        response = np.asarray(response, np.float32)
+        if response.shape[0] > self.cfg.ir_len:
+            raise ValueError(
+                "New impulse response is longer than initialized length"
+            )
+        padded = np.zeros(self.cfg.seg_count * self.cfg.block_size,
+                          np.float32)
+        padded[: response.shape[0]] = response
+        ir2_re, ir2_im = _jit_rebuild_ir(self.cfg)(jnp.asarray(padded))
+        if int(self.cf_state.target) == crossfade.TARGET_A:
+            self.consts = self.consts._replace(b2_re=ir2_re, b2_im=ir2_im)
+            self.state = self.state._replace(
+                overlap_b=jnp.zeros_like(self.state.overlap_b)
+            )
+            target = crossfade.TARGET_B
+        else:
+            self.consts = self.consts._replace(a2_re=ir2_re, a2_im=ir2_im)
+            self.state = self.state._replace(
+                overlap_a=jnp.zeros_like(self.state.overlap_a)
+            )
+            target = crossfade.TARGET_A
+        self.cf_state = crossfade.fade_into(self.cf_cfg, self.cf_state,
+                                            target)
+
+    def update(self, response) -> None:
+        """(``src/crossfade_convolver.rs:51-64``) — single pending slot;
+        updates while fading overwrite the stored response."""
+        if not self.is_crossfading():
+            self._swap(response)
+            self.response_pending = False
+            return
+        response = np.asarray(response, np.float32)
+        if response.shape[0] > self.stored_response.shape[0]:
+            raise ValueError("response longer than stored-response capacity")
+        self.stored_response[: response.shape[0]] = response
+        self.stored_response[response.shape[0]:] = 0.0
+        self.response_pending = True
+
+    def process(self, input) -> np.ndarray:
+        """One block in, one mixed block out
+        (``src/crossfade_convolver.rs:66-78``): apply a pending swap at
+        block top, run the fused A/B kernel, mix per sample."""
+        if not self.is_crossfading() and self.response_pending:
+            self._swap(self.stored_response)
+            self.response_pending = False
+        x = np.asarray(input, np.float32)
+        if x.shape[0] != self.cfg.block_size:
+            raise ValueError(
+                f"PallasCrossfadeConvolver.process takes exactly one "
+                f"{self.cfg.block_size}-sample block"
+            )
+        step = _jit_xfade_step(self.cfg, self.cf_cfg, self._interpret)
+        self.state, self.cf_state, y = step(
+            self.consts, self.state, self.cf_state, jnp.asarray(x)
+        )
+        return np.asarray(y)
+
+    def reset(self) -> None:
+        """``todo!()`` upstream (``src/crossfade_convolver.rs:80-82``) —
+        surface matched; :meth:`reset_extension` is the implemented
+        extension."""
+        raise NotImplementedError(
+            "CrossfadeConvolver.reset is unimplemented upstream "
+            "(src/crossfade_convolver.rs:80-82); reset_extension() is the "
+            "documented extension"
+        )
+
+    def reset_extension(self) -> None:
+        """EXTENSION (clearly marked — NOT reference surface)."""
+        from .models import crossfade
+        from .ops import pallas_crossfade
+
+        self.state = pallas_crossfade.zero_state(
+            self.cfg.seg_count, self.cfg.block_size
+        )
+        self.cf_state = crossfade.new_state(self.cf_cfg)
+        self.stored_response[:] = 0.0
+        self.response_pending = False
+
+    def snapshot(self):
+        return (self.consts, self.state, self.cf_state,
+                self.stored_response.copy(), self.response_pending)
+
+    def restore(self, snap) -> None:
+        (self.consts, self.state, self.cf_state,
+         stored, self.response_pending) = snap
+        self.stored_response = stored.copy()
+
+    def clone(self) -> "PallasCrossfadeConvolver":
+        other = object.__new__(PallasCrossfadeConvolver)
+        other.cfg = self.cfg
+        other.cf_cfg = self.cf_cfg
+        other.consts = self.consts
+        other.state = self.state
+        other.cf_state = self.cf_state
+        other.stored_response = self.stored_response.copy()
+        other.response_pending = self.response_pending
+        other._interpret = self._interpret
+        return other
+
+
 class PallasFFTConvolver:
     """Fused-kernel uniform convolver for single-block real-time serving."""
 
