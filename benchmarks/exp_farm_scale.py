@@ -109,13 +109,29 @@ def main():
     # the stage slopes donated their pieces; reassemble a structurally valid
     # full state (any ring phase is fine — both cores are phase-agnostic)
     state = state._replace(tail=tail_st, head=head_st)
-    wall, _ = slope_time_threaded(
+    khat = jax.jit(
+        functools.partial(farm2.farm2_head_khat, cfg, dft_precision=prec),
+        static_argnums=(1,),
+    )(state, t)
+    wall, state = slope_time_threaded(
         functools.partial(farm2.farm2_stream, cfg, tail_mac=mac,
                           dft_precision=prec),
         state, x,
     )
     print(
         f"V={voices:4d} full farm2: {wall*1e3:8.2f} ms  "
+        f"xrt/voice={audio/wall:8.1f} rt_voices={audio/wall*voices:8.0f}",
+        flush=True,
+    )
+    # with the input-independent head-kernel meta-DFT precomputed (what
+    # ReverbFarm.process serves every call with)
+    wall, _ = slope_time_threaded(
+        functools.partial(farm2.farm2_stream, cfg, tail_mac=mac,
+                          dft_precision=prec, head_khat=khat),
+        state, x,
+    )
+    print(
+        f"V={voices:4d} full+khat:  {wall*1e3:8.2f} ms  "
         f"xrt/voice={audio/wall:8.1f} rt_voices={audio/wall*voices:8.0f}",
         flush=True,
     )

@@ -1,0 +1,98 @@
+"""Experiment: farm2_update at production voice counts — wall time and
+compiled peak-memory behavior of the batched RT-safe IR swap
+(``src/fft_convolver.rs:174-213`` semantics scaled to a fleet).
+
+The rebuild is a voice-chunked donated scan: the doubled periodic table
+is rewritten in place, and each chunk's IR slice is cut from ``new_irs``
+inside the scan body, so the transient should be one chunk's spectra
+(~0.1 GB), NOT a farm-sized temp.  This AOT-compiles the exact donated
+update program, prints ``memory_analysis`` (temp = the transient on top
+of the live state), and slope-times execution on the device.
+
+Usage: python -m benchmarks.exp_update [--voices N] [--bf16] [--cpu]
+"""
+
+from __future__ import annotations
+
+import functools
+import sys
+import time
+
+import numpy as np
+
+if "--cpu" in sys.argv:
+    import os
+
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+else:
+    import jax
+
+import jax.numpy as jnp
+
+SR = 48000
+
+
+def main():
+    voices = 32
+    for i, a in enumerate(sys.argv):
+        if a == "--voices":
+            voices = int(sys.argv[i + 1])
+    dtype = jnp.bfloat16 if "--bf16" in sys.argv else jnp.float32
+
+    from fft_convolution_tpu.parallel import farm2
+
+    rng = np.random.default_rng(7)
+    ir_len = 60 * SR
+    irs = (rng.standard_normal((voices, ir_len)) * 0.002).astype(np.float32)
+    cfg, state = farm2.farm2_init(irs, 128, ir_len, tail_dtype=dtype)
+    new_irs = jnp.asarray(
+        (rng.standard_normal((voices, ir_len)) * 0.002).astype(np.float32)
+    )
+
+    upd = functools.partial(farm2.farm2_update, cfg)
+
+    @functools.partial(jax.jit, donate_argnums=(0,), static_argnums=(2,))
+    def chained(st, ni, length):
+        def body(s, _):
+            return upd(s, ni), 0.0
+
+        sf, _ = jax.lax.scan(body, st, None, length=length)
+        return sf, sf.tail.segments_ir[0, 0, 0].astype(jnp.float32)
+
+    lowered = chained.lower(state, new_irs, 1)
+    mem = lowered.compile().memory_analysis()
+    print(
+        f"V={voices} dtype={np.dtype(dtype).name} update memory: "
+        f"temp={mem.temp_size_in_bytes/1e9:.3f}G "
+        f"arg={mem.argument_size_in_bytes/1e9:.3f}G "
+        f"alias={mem.alias_size_in_bytes/1e9:.3f}G",
+        flush=True,
+    )
+
+    # slope-time: chained donated updates, one scalar fetch per run
+    def run(length, st):
+        st, v = chained(st, new_irs, length)
+        _ = float(v)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            st, v = chained(st, new_irs, length)
+            _ = float(v)
+            best = min(best, time.perf_counter() - t0)
+        return best, st
+
+    t1, state = run(1, state)
+    t2, state = run(3, state)
+    wall = max((t2 - t1) / 2, 1e-9)
+    print(
+        f"V={voices} dtype={np.dtype(dtype).name} update: {wall*1e3:.2f} ms "
+        f"({wall*1e6/voices:.1f} us/voice)",
+        flush=True,
+    )
+
+
+if __name__ == "__main__":
+    main()

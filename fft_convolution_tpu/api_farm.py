@@ -29,6 +29,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .models import two_stage, uniform
+from .ops.fft import next_power_of_two
 from .parallel import farm2
 
 
@@ -108,6 +109,14 @@ class ReverbFarm:
             functools.partial(farm2.farm2_update, self.cfg),
             donate_argnums=(0,),
         )
+        # head-kernel meta-spectra (farm2_head_khat), cached per meta-DFT
+        # length m: input-independent between IR updates, and recomputing
+        # it inline was a third of the head MAC's matmul work per call
+        self._khat_fn = jax.jit(
+            functools.partial(farm2.farm2_head_khat, self.cfg),
+            static_argnums=(1,),
+        )
+        self._khat_cache = {}
 
     @property
     def period(self) -> int:
@@ -146,7 +155,15 @@ class ReverbFarm:
                 f"with tail_mac={self._tail_mac!r}) — split the stream "
                 "into consecutive process() calls"
             )
-        self.state, y = self._stream(self.state, blocks)
+        if self.cfg.tail is not None:
+            m = next_power_of_two(self.cfg.head.seg_count - 1 + t)
+            khat = self._khat_cache.get(m)
+            if khat is None:
+                khat = self._khat_fn(self.state, t)
+                self._khat_cache[m] = khat
+        else:
+            khat = None
+        self.state, y = self._stream(self.state, blocks, head_khat=khat)
         return np.asarray(y)
 
     def update(self, new_irs) -> None:
@@ -166,6 +183,8 @@ class ReverbFarm:
                 f"response capacity ({self.max_response_length})"
             )
         self.state = self._update(self.state, jnp.asarray(new_irs))
+        # the cached head-kernel meta-spectra belong to the OLD tables
+        self._khat_cache.clear()
 
     def reset(self) -> None:
         """Clear all input state; keep the IR tables
@@ -204,9 +223,14 @@ class ReverbFarm:
 
     def restore(self, snap: two_stage.TwoStageState) -> None:
         self.state = jax.tree.map(jnp.copy, snap)
+        # the snapshot may carry different IR tables than the cached khat
+        self._khat_cache.clear()
 
     def clone(self) -> "ReverbFarm":
         c = object.__new__(ReverbFarm)
         c.__dict__.update(self.__dict__)
         c.state = self.snapshot()
+        # own cache: an update() on either instance must not leave the
+        # other reading khat of the wrong IR tables
+        c._khat_cache = dict(self._khat_cache)
         return c

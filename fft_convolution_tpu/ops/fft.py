@@ -286,8 +286,32 @@ def _cdft4_axis2(re: jnp.ndarray, im: jnp.ndarray, m: int, sign: float,
     return out_re, out_im
 
 
+def _pad_rows(x: jnp.ndarray, m: int) -> jnp.ndarray:
+    pad = [(0, 0)] * (x.ndim - 2) + [(0, m - x.shape[-2]), (0, 0)]
+    return jnp.pad(x, pad)
+
+
+def causal_conv_khat(kern: jnp.ndarray, m: int,
+                     precision=jax.lax.Precision.HIGHEST,
+                     ) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """The input-independent half of :func:`causal_conv_time`: the kernel
+    spectra table's block-axis DFT, zero-padded to ``m`` meta-bins.
+
+    The table only changes on IR update, yet inline it is one third of the
+    stream MAC's matmul work (and its largest intermediate) recomputed
+    every call — precompute once per (table, m) and pass as ``kern_hat=``.
+    ``m`` must be ``next_power_of_two(ext_rows)`` of the stream call it
+    will serve.  Returns ``(khat_re, khat_im)``, each ``[..., m, B]``.
+    """
+    k_re = _pad_rows(kern[..., 0, :], m)
+    k_im = _pad_rows(kern[..., 1, :], m)
+    return _cdft4_axis2(k_re, k_im, m, -1.0, precision)
+
+
 def causal_conv_time(ext: jnp.ndarray, kern: jnp.ndarray, t_out: int,
-                     precision=jax.lax.Precision.HIGHEST) -> jnp.ndarray:
+                     precision=jax.lax.Precision.HIGHEST,
+                     kern_hat: tuple[jnp.ndarray, jnp.ndarray] | None = None,
+                     ) -> jnp.ndarray:
     """``out[t] = sum_i kern[i] (*) ext[N-1+t-i]`` — the frequency-delay-line
     MAC over a whole stream, computed by a SECOND DFT along the block axis
     (overlap-save at the meta level).  Grouped-conv HLOs lower to ~100
@@ -300,23 +324,29 @@ def causal_conv_time(ext: jnp.ndarray, kern: jnp.ndarray, t_out: int,
     components of the packed product; lane 0 (DC & Nyquist, both real) needs
     rr and ii separately, recovered from one extra spectral product with the
     index-reversed conjugate kernel spectrum on that single lane.
+
+    ``kern_hat``: optional precomputed :func:`causal_conv_khat` of ``kern``
+    at this call's ``m`` — skips the kernel-side meta-DFT (the table is
+    input-independent; hot streaming paths precompute it at IR-set time).
     """
     lt = ext.shape[-3]
     n = kern.shape[-3]
     b = ext.shape[-1]
     m = next_power_of_two(lt)
 
-    def pad_m(x):
-        pad = [(0, 0)] * (x.ndim - 2) + [(0, m - x.shape[-2]), (0, 0)]
-        return jnp.pad(x, pad)
-
-    e_re = pad_m(ext[..., 0, :])
-    e_im = pad_m(ext[..., 1, :])
-    k_re = pad_m(kern[..., 0, :])
-    k_im = pad_m(kern[..., 1, :])
+    e_re = _pad_rows(ext[..., 0, :], m)
+    e_im = _pad_rows(ext[..., 1, :], m)
 
     ehat_re, ehat_im = _cdft4_axis2(e_re, e_im, m, -1.0, precision)
-    khat_re, khat_im = _cdft4_axis2(k_re, k_im, m, -1.0, precision)
+    if kern_hat is None:
+        khat_re, khat_im = causal_conv_khat(kern, m, precision)
+    else:
+        khat_re, khat_im = kern_hat
+        if khat_re.shape[-2] != m:
+            raise ValueError(
+                f"kern_hat was built for m={khat_re.shape[-2]} meta-bins "
+                f"but this stream call needs m={m}"
+            )
 
     # main product: IDFT gives (rr - ii) + i (ri + ir) per lane
     z_re = ehat_re * khat_re - ehat_im * khat_im

@@ -53,7 +53,8 @@ import numpy as np
 
 from ..models import two_stage, uniform
 from ..ops.cpx import pmul_sum
-from ..ops.fft import causal_conv_time, ir_to_spectra, irdft_block, rdft_block
+from ..ops.fft import (causal_conv_khat, causal_conv_time, ir_to_spectra,
+                       irdft_block, next_power_of_two, rdft_block)
 from . import farm
 
 
@@ -282,12 +283,20 @@ def farm2_update(cfg: two_stage.TwoStageConfig, state: two_stage.TwoStageState,
         # one expression peaked at ~9 GB of temps on top of live state at
         # production voice counts); the scan carry donates, so the peak
         # is one chunk's transient.  Chunk = largest divisor of V <= 8.
+        # The chunk's tail slice is cut from new_irs INSIDE the scan body
+        # (a [chunk, L] dynamic slice), not pre-padded for the whole farm —
+        # a [V, n_t*tb] temp would add ~1.4 GB on top of the donated input
+        # at V=128/60 s.
         chunk = next(c for c in range(min(8, v), 0, -1) if v % c == 0)
-        sl = stage_slice(2 * tb, cfg.tail.ir_len, n_t * tb)
-        chunks = sl.reshape(v // chunk, chunk, n_t * tb)
+        lo_t = 2 * tb
+        cap_t = min(cfg.tail.ir_len, max(new_irs.shape[1] - lo_t, 0))
+        ir_len = new_irs.shape[1]
 
-        def body(tab, op):
-            idx, ch = op
+        def body(tab, idx):
+            ch = jax.lax.dynamic_slice(
+                new_irs, (idx * chunk, 0), (chunk, ir_len)
+            )[:, lo_t: lo_t + cap_t]
+            ch = jnp.pad(ch, ((0, 0), (0, n_t * tb - cap_t)))
             spec = jax.lax.map(
                 lambda r: ir_to_spectra(r, tb, n_t), ch
             )                                           # [C, n, 2, B]
@@ -302,7 +311,7 @@ def farm2_update(cfg: two_stage.TwoStageConfig, state: two_stage.TwoStageState,
 
         table, _ = jax.lax.scan(
             body, state.tail.segments_ir,
-            (jnp.arange(v // chunk, dtype=jnp.int32), chunks),
+            jnp.arange(v // chunk, dtype=jnp.int32),
         )
         tail = state.tail._replace(
             segments_ir=table,
@@ -465,10 +474,27 @@ def _tail_corr_phased_fused(cfg: uniform.UniformConfig,
     ), y
 
 
+def farm2_head_khat(cfg: two_stage.TwoStageConfig,
+                    state: two_stage.TwoStageState, t: int,
+                    dft_precision: str = "highest",
+                    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Precompute the fused head+tail0 kernel meta-spectra
+    (:func:`ops.fft.causal_conv_khat` of the stacked stage tables) for
+    ``T = t``-block stream calls.  Input-independent between IR updates —
+    one third of the head MAC's matmul work hoisted out of every call.
+    Jittable; pass the result to :func:`farm2_stream` as ``head_khat=``
+    (valid for any ``T`` with the same ``next_power_of_two(n - 1 + T)``).
+    """
+    n = cfg.head.seg_count
+    m = next_power_of_two(n - 1 + t)
+    kern2 = jnp.stack([state.head.segments_ir, state.tail0.segments_ir])
+    return causal_conv_khat(kern2, m, _PRECISIONS[dft_precision])
+
+
 def _heads_fused(cfg: two_stage.TwoStageConfig,
                  st_h: uniform.UniformState, st_t0: uniform.UniformState,
                  vx: jnp.ndarray, spec0_prev: jnp.ndarray,
-                 precision=jax.lax.Precision.HIGHEST):
+                 precision=jax.lax.Precision.HIGHEST, khat=None):
     """Fused head+tail0 farm stream: with the big tail present both stages
     convolve the SAME input at the same block size and segment count
     (``head_len == t0_len == tail_block``), so one ring history and ONE
@@ -515,7 +541,8 @@ def _heads_fused(cfg: two_stage.TwoStageConfig,
         ext = specs
 
     kern2 = jnp.stack([st_h.segments_ir, st_t0.segments_ir])  # [2, V, n, 2, B]
-    convs2 = causal_conv_time(ext, kern2, t, precision)       # [2, V, T, 2, B]
+    convs2 = causal_conv_time(ext, kern2, t, precision,
+                              kern_hat=khat)                  # [2, V, T, 2, B]
     conv0_del = jnp.concatenate(
         [spec0_prev, convs2[1, :, : t - p]], axis=1
     )                                                         # [V, T, 2, B]
@@ -558,6 +585,7 @@ def farm2_stream(cfg: two_stage.TwoStageConfig, state: two_stage.TwoStageState,
                  blocks: jnp.ndarray,
                  tail_mac: str = "jnp",
                  dft_precision: str = "highest",
+                 head_khat=None,
                  ) -> Tuple[two_stage.TwoStageState, jnp.ndarray]:
     """Stream ``blocks [T, V, B]`` -> ``[T, V, B]``; requires period-aligned
     state (fresh or after period-multiple streams) and ``T % period == 0``.
@@ -568,6 +596,10 @@ def farm2_stream(cfg: two_stage.TwoStageConfig, state: two_stage.TwoStageState,
     voice axis placed per stage — head+tail0 fused voice-leading with the
     tail0 delay applied pre-inverse (:func:`_heads_fused`), the big tail
     batched fused-voice — see the module docstring for why.
+
+    ``head_khat``: optional precomputed :func:`farm2_head_khat` for this
+    call's ``T`` — hoists the input-independent kernel meta-DFT out of the
+    head MAC (recompute it after :func:`farm2_update`).
     """
     if cfg.tail is None:
         # short-IR farm (<= 2 tail blocks): no big tail to batch specially
@@ -601,7 +633,8 @@ def farm2_stream(cfg: two_stage.TwoStageConfig, state: two_stage.TwoStageState,
         axis=2,
     )                                                   # [V, p, 2, B]
     head_state, tail0_state, y, spec0_last = _heads_fused(
-        cfg, state.head, state.tail0, vx, spec0_prev, precision=prec
+        cfg, state.head, state.tail0, vx, spec0_prev, precision=prec,
+        khat=head_khat,
     )                                                   # y [V, T, B]
     new_precalc0 = spec0_last[:, :, 0].reshape(v, tb)
     new_output0 = spec0_last[:, :, 1].reshape(v, tb)

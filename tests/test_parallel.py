@@ -538,3 +538,78 @@ def test_sharded_clone_independent():
     np.testing.assert_allclose(
         sh.process(x[4:].reshape(-1)), ref.process(x[4:].reshape(-1)), atol=1e-6
     )
+
+
+def test_farm2_head_khat_parity():
+    """Precomputed head-kernel meta-spectra (farm2_head_khat) must give
+    bit-identical streams to the inline kernel DFT — same matmul program,
+    just hoisted — and a WRONG-m khat must be rejected eagerly."""
+    import pytest
+
+    from fft_convolution_tpu.parallel import farm2
+
+    rng = np.random.default_rng(41)
+    v, b = 3, 64
+    ir_len = 9000
+    irs = rng.standard_normal((v, ir_len)).astype(np.float32) * 0.05
+    cfg, state = farm2.farm2_init(irs, b, ir_len)
+    assert cfg.tail is not None
+    t = 2 * cfg.period
+    x = rng.standard_normal((t, v, b)).astype(np.float32)
+
+    khat = jax.jit(functools.partial(
+        farm2.farm2_head_khat, cfg), static_argnums=(1,))(state, t)
+    run = jax.jit(functools.partial(farm2.farm2_stream, cfg))
+    run_k = jax.jit(functools.partial(farm2.farm2_stream, cfg))
+
+    state_ref = jax.tree.map(jnp.copy, state)
+    for call in range(2):
+        state_ref, y_ref = run(state_ref, jnp.asarray(x))
+        state, y = run_k(state, jnp.asarray(x), head_khat=khat)
+        np.testing.assert_array_equal(
+            np.asarray(y), np.asarray(y_ref), err_msg=f"call {call}"
+        )
+
+    bad = jax.jit(functools.partial(
+        farm2.farm2_head_khat, cfg), static_argnums=(1,))(state, 16 * t)
+    with pytest.raises(ValueError, match="meta-bins"):
+        run_k(state, jnp.asarray(x), head_khat=bad)
+
+
+def test_reverb_farm_khat_cache_coherent():
+    """ReverbFarm's khat cache must be invalidated by update() and
+    restore(), and clones must not share cache mutations."""
+    from fft_convolution_tpu import ReverbFarm, TwoStageFFTConvolver
+
+    rng = np.random.default_rng(42)
+    v, b, ir_len = 2, 64, 9000
+    irs = rng.standard_normal((v, ir_len)).astype(np.float32) * 0.05
+    new_irs = rng.standard_normal((v, ir_len)).astype(np.float32) * 0.05
+    farm = ReverbFarm(irs, b, ir_len)
+    t = farm.period
+    x = rng.standard_normal((3 * t, v, b)).astype(np.float32)
+
+    y1 = farm.process(x[:t])
+    assert farm._khat_cache  # populated
+    twin = farm.clone()
+    snap = farm.snapshot()
+    farm.update(new_irs)
+    assert not farm._khat_cache  # invalidated by update
+    y2 = farm.process(x[t:2 * t])
+    # the clone kept the OLD irs; its stream must use the OLD khat
+    y2_twin = twin.process(x[t:2 * t])
+    # the restored farm rewinds to the OLD irs mid-cache
+    farm.restore(snap)
+    y2_restored = farm.process(x[t:2 * t])
+    np.testing.assert_allclose(y2_twin, y2_restored, atol=1e-6)
+
+    for voice in range(v):
+        e = TwoStageFFTConvolver(irs[voice], b, ir_len)
+        r1 = e.process(x[:t, voice, :].reshape(-1))
+        e.update_extension(new_irs[voice])
+        r2 = e.process(x[t:2 * t, voice, :].reshape(-1))
+        np.testing.assert_allclose(
+            y1[:, voice, :].reshape(-1), r1, atol=1e-5)
+        np.testing.assert_allclose(
+            y2[:, voice, :].reshape(-1), r2, atol=1e-5,
+            err_msg=f"voice {voice}: stale khat after update()?")
