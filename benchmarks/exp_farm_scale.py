@@ -32,17 +32,22 @@ from fft_convolution_tpu.parallel import farm, farm2
 SR = 48000
 
 
-def slope_time_threaded(run, state, x, c1=1, c2=3, reps=2):
+def slope_time_threaded(run, state, x, c1=1, c2=3, reps=2, aux=None):
     """Slope timing that THREADS the donated state through the runs instead
     of copying it first — multi-GB farm states would otherwise exist twice
-    and OOM (timing does not need a pristine start state)."""
+    and OOM (timing does not need a pristine start state).
+
+    ``aux``: optional extra pytree passed to ``run(state, x, aux)`` as a
+    traced ARGUMENT — closing over device arrays would serialize them as
+    program constants, and the remote-compile relay caps the request
+    body (HTTP 413 at a few MB)."""
     import time
 
     def build(length):
         @functools.partial(jax.jit, donate_argnums=(0,))
-        def chained(st, xs):
+        def chained(st, xs, ax):
             def body(s, _):
-                s2, y = run(s, xs)
+                s2, y = run(s, xs) if ax is None else run(s, xs, ax)
                 return s2, jnp.sum(y)
 
             sf, sums = jax.lax.scan(body, st, None, length=length)
@@ -53,12 +58,12 @@ def slope_time_threaded(run, state, x, c1=1, c2=3, reps=2):
     r1, r2 = build(c1), build(c2)
 
     def timed(r, st):
-        st, v = r(st, x)
+        st, v = r(st, x, aux)
         _ = float(v)
         best = float("inf")
         for _ in range(reps):
             t0 = time.perf_counter()
-            st, v = r(st, x)
+            st, v = r(st, x, aux)
             _ = float(v)
             best = min(best, time.perf_counter() - t0)
         return st, best
@@ -78,7 +83,9 @@ def main():
 
     rng = np.random.default_rng(4)
     irs = (rng.standard_normal((voices, ir_seconds * SR)) * 0.002).astype(np.float32)
-    cfg, state = farm2.farm2_init(irs, block, ir_seconds * SR)
+    tail_dtype = jnp.bfloat16 if "--bf16" in sys.argv else jnp.float32
+    cfg, state = farm2.farm2_init(irs, block, ir_seconds * SR,
+                                  tail_dtype=tail_dtype)
     p = cfg.period
     t = 2 * p
     audio = t * block / SR
@@ -90,6 +97,8 @@ def main():
 
     mac = "pallas" if "--pallas" in sys.argv else "jnp"
     prec = "high" if "--prec-high" in sys.argv else "highest"
+    print(f"V={voices:4d} tail_dtype={np.dtype(tail_dtype).name} "
+          f"(bf16 = plane-packed u32)", flush=True)
     wall, tail_st = slope_time_threaded(
         functools.partial(farm2._tail_corr_phased_fused, cfg.tail, mac=mac,
                           precision=farm2._PRECISIONS[prec]),
@@ -124,11 +133,13 @@ def main():
         flush=True,
     )
     # with the input-independent head-kernel meta-DFT precomputed (what
-    # ReverbFarm.process serves every call with)
+    # ReverbFarm.process serves every call with); khat rides as a traced
+    # argument, not a baked-in program constant
     wall, _ = slope_time_threaded(
-        functools.partial(farm2.farm2_stream, cfg, tail_mac=mac,
-                          dft_precision=prec, head_khat=khat),
-        state, x,
+        lambda st, xs, kh: farm2.farm2_stream(
+            cfg, st, xs, tail_mac=mac, dft_precision=prec, head_khat=kh
+        ),
+        state, x, aux=khat,
     )
     print(
         f"V={voices:4d} full+khat:  {wall*1e3:8.2f} ms  "

@@ -93,7 +93,9 @@ class ReverbFarm:
         if self.cfg.tail is not None:
             q_max = min(self.cfg.tail.seg_count, uniform.CORR_EXTRA_ROWS)
             if tail_mac in ("pallas", "pallas_interpret"):
-                q_max = min(q_max, 16 if tail_dtype == jnp.bfloat16 else 8)
+                # both f32 and plane-packed bf16 storage are 32-bit wide:
+                # the table-head DMA covers 8 rows either way
+                q_max = min(q_max, 8)
             self.max_blocks_per_call = q_max * self.cfg.period
         else:
             self.max_blocks_per_call = None

@@ -172,13 +172,145 @@ def _kernel(n: int, t_blocks: int, b_voice: int, l: int, sub: int,
                                   + cross0 * m0)
 
 
+def _unpack_words(w):
+    """Exact f32 (re, im) from plane-packed bf16 words (ops/packing.py):
+    two lane-local integer ops + free bitcasts — no sublane re-tiling,
+    which is the whole point of the packed storage (the bf16->f32
+    ``astype`` is a (16,128)->(8,128) re-tiling whose cost scales with
+    the window)."""
+    re = pltpu.bitcast(w & jnp.uint32(0xFFFF0000), jnp.float32)
+    im = pltpu.bitcast(w << 16, jnp.float32)
+    return re, im
+
+
+def _kernel_packed(n: int, t_blocks: int, b_voice: int, l: int, sub: int,
+                   q_ref,                      # SMEM in
+                   u_ref,                      # VMEM in ([N, L] u32 block)
+                   specs_ref,                  # VMEM in ([T, 2, L] f32)
+                   ext2_hbm,                   # ANY in ([R, VB] u32 table)
+                   out_ref,                    # VMEM out ([T, 2, L])
+                   pre_ref,                    # VMEM out ([2, L])
+                   w_buf, kh_buf, sem):        # scratch
+    """Packed-storage variant of :func:`_kernel`: ring and table carry one
+    uint32 word per bin (re/im bf16 halves, ops/packing.py), so the
+    window is ONE 32-bit DMA stream with f32 alignment rules (sub = 8,
+    ``pltpu.roll`` native) and half the f32 path's HBM bytes."""
+    j = pl.program_id(0)
+    nj = pl.num_programs(0)
+    rows = _window_rows(n, t_blocks, sub)
+    q = q_ref[0]
+    q0 = (q // sub) * sub
+    d = q - q0
+
+    def window_copy(jj, slot):
+        return pltpu.make_async_copy(
+            ext2_hbm.at[pl.ds(q0, rows), pl.ds(jj * l, l)],
+            w_buf.at[pl.ds(slot * rows, rows)],
+            sem.at[slot, 0],
+        )
+
+    def khead_copy(jj, slot):
+        return pltpu.make_async_copy(
+            ext2_hbm.at[pl.ds(0, sub), pl.ds(jj * l, l)],
+            kh_buf.at[pl.ds(slot * sub, sub)],
+            sem.at[slot, 1],
+        )
+
+    def start(jj, slot):
+        window_copy(jj, slot).start()
+        khead_copy(jj, slot).start()
+
+    slot = jax.lax.rem(j, 2)
+
+    @pl.when(j == 0)
+    def _():
+        start(0, 0)
+
+    @pl.when(j + 1 < nj)
+    def _():
+        start(j + 1, jax.lax.rem(j + 1, 2))
+
+    window_copy(j, slot).wait()
+    khead_copy(j, slot).wait()
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, l), 1)[0] + j * l
+    m0 = (jax.lax.rem(lane, b_voice) == 0).astype(jnp.float32)
+    m1 = 1.0 - m0
+
+    # aligned-start residue rotate on the PACKED words (32-bit: native),
+    # then the lane-local unpack — see _unpack_words
+    shift = rows - d
+    w_re, w_im = _unpack_words(
+        pltpu.roll(w_buf[pl.ds(slot * rows, rows), :], shift, axis=0)
+    )
+    kh_re, kh_im = _unpack_words(kh_buf[pl.ds(slot * sub, sub), :])
+    ur, ui = _unpack_words(u_ref[:])
+
+    riota = jax.lax.broadcasted_iota(jnp.int32, (n, l), 0)
+    for t in range(t_blocks):
+        wr = jax.lax.slice_in_dim(w_re, t, t + n, axis=0)
+        wi = jax.lax.slice_in_dim(w_im, t, t + n, axis=0)
+        cross = ui * wi
+        re = jnp.sum(ur * wr - cross * m1, axis=0)
+        im = jnp.sum((ur * wi + ui * wr) * m1 + cross * m0, axis=0)
+        for s in range(t + 1):
+            row_s = jax.lax.rem(jax.lax.rem(n - q - s, n) + n, n)
+            mask = (riota == row_s).astype(jnp.float32)
+            dre = specs_ref[s, 0, :] - jnp.sum(ur * mask, axis=0)
+            dim = specs_ref[s, 1, :] - jnp.sum(ui * mask, axis=0)
+            kr = kh_re[t - s]
+            ki = kh_im[t - s]
+            crossd = dim * ki
+            re = re + dre * kr - crossd * m1
+            im = im + (dre * ki + dim * kr) * m1 + crossd * m0
+        out_ref[t, 0, :] = re
+        out_ref[t, 1, :] = im
+        if t == t_blocks - 1:
+            sr = specs_ref[t, 0, :]
+            si = specs_ref[t, 1, :]
+            cross0 = si * kh_im[0]
+            pre_ref[0, :] = re - (sr * kh_re[0] - cross0 * m1)
+            pre_ref[1, :] = im - ((sr * kh_im[0] + si * kh_re[0]) * m1
+                                  + cross0 * m0)
+
+
 @functools.lru_cache(maxsize=None)
 def _build_call(n: int, rows_total: int, vb: int, t_blocks: int,
                 b_voice: int, l: int, dtype_name: str, interpret: bool):
     dtype = jnp.dtype(dtype_name)
+    grid = (vb // l,)
+    if dtype == jnp.uint32:  # plane-packed bf16 storage
+        sub = 8
+        rows = _window_rows(n, t_blocks, sub)
+        return pl.pallas_call(
+            functools.partial(_kernel_packed, n, t_blocks, b_voice, l, sub),
+            grid=grid,
+            out_shape=(
+                jax.ShapeDtypeStruct((t_blocks, 2, vb), jnp.float32),
+                jax.ShapeDtypeStruct((2, vb), jnp.float32),
+            ),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),                # q
+                pl.BlockSpec((n, l), lambda j: (0, j)),               # u
+                pl.BlockSpec((t_blocks, 2, l), lambda j: (0, 0, j)),  # specs
+                pl.BlockSpec(memory_space=pl.ANY),                    # ext2
+            ],
+            out_specs=(
+                pl.BlockSpec((t_blocks, 2, l), lambda j: (0, 0, j)),
+                pl.BlockSpec((2, l), lambda j: (0, j)),
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((2 * rows, l), jnp.uint32),  # packed window
+                pltpu.VMEM((2 * sub, l), jnp.uint32),   # packed table head
+                pltpu.SemaphoreType.DMA((2, 2)),        # [slot, win/khead]
+            ],
+            interpret=interpret,
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",),
+            ),
+        )
     sub = 16 if dtype.itemsize == 2 else 8
     kernel = functools.partial(_kernel, n, t_blocks, b_voice, l, sub)
-    grid = (vb // l,)
     rows = _window_rows(n, t_blocks, sub)
     return pl.pallas_call(
         kernel,
@@ -219,24 +351,32 @@ def phased_step(u: jnp.ndarray, ext2: jnp.ndarray, specs: jnp.ndarray,
     """Full phased correlation step: corrected conv sums and the
     ``pre_multiplied`` accumulator in one pass.
 
-    ``u``: [2, N, VB] ring (``N`` a tile-multiple — ``farm2_init`` pads);
-    ``ext2``: [2, R, VB] doubled periodic table with row slack for the
-    aligned window (asserted); ``specs``: [T, 2, VB] fresh input spectra
-    (T <= the storage tile, so the table-head DMA covers every k row);
-    ``q``: scalar i32 phase in [0, N); ``b_voice``: per-voice lane width
-    B of the fused axis.  Returns ``(convs [T, 2, VB], pre [2, VB])``.
+    ``u``: [2, N, VB] ring (``N`` a tile-multiple — ``farm2_init`` pads),
+    or [N, VB] uint32 for plane-packed bf16 storage (ops/packing.py);
+    ``ext2``: [2, R, VB] doubled periodic table ([R, VB] packed) with row
+    slack for the aligned window (asserted); ``specs``: [T, 2, VB] fresh
+    input spectra (T <= the storage tile, so the table-head DMA covers
+    every k row); ``q``: scalar i32 phase in [0, N); ``b_voice``:
+    per-voice lane width B of the fused axis.  Returns
+    ``(convs [T, 2, VB], pre [2, VB])``.
     """
-    _, n, vb = u.shape
+    packed = u.dtype == jnp.uint32
+    if packed:
+        n, vb = u.shape
+        rows_total = ext2.shape[0]
+    else:
+        _, n, vb = u.shape
+        rows_total = ext2.shape[1]
     t_blocks = specs.shape[0]
-    rows_total = ext2.shape[1]
     if lane_block is None:
         # 2048 measured best for BOTH storage widths (bf16 at 4096 was
         # 25% slower: the bf16->f32 cast is a sublane re-tiling whose cost
-        # scales with the chunk, while DMA overhead does not dominate)
+        # scales with the chunk, while DMA overhead does not dominate);
+        # the packed path has no such cast but keeps the same chunk
         lane_block = 2048
     l = min(lane_block, vb)
     assert u.dtype == ext2.dtype
-    sub = 16 if u.dtype.itemsize == 2 else 8
+    sub = 8 if packed else (16 if u.dtype.itemsize == 2 else 8)
     assert t_blocks <= sub, (
         f"{t_blocks} blocks per call exceed the {sub}-row table-head DMA"
     )

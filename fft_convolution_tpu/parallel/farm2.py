@@ -55,6 +55,7 @@ from ..models import two_stage, uniform
 from ..ops.cpx import pmul_sum
 from ..ops.fft import (causal_conv_khat, causal_conv_time, ir_to_spectra,
                        irdft_block, next_power_of_two, rdft_block)
+from ..ops.packing import pack_c32_planes, unpack_c32
 from . import farm
 
 
@@ -78,6 +79,10 @@ def _init_tail_fused_direct(padded_tail: np.ndarray, tb: int,
     backend demonstrably does not reclaim them promptly — a single tail
     call right after that init ran out of HBM at 128 voices.  Direct
     construction peaks at table + ring + one ~0.7 GB chunk transient.
+
+    ``dtype=jnp.bfloat16`` builds PLANE-PACKED storage (ops/packing.py):
+    big leaves are ``[rows, V*B]`` uint32 words instead of
+    ``[2, rows, V*B]`` planes — same bytes, (8,128)-tiled loads.
     """
     v, lt = padded_tail.shape
     n_t = tail_cfg.seg_count
@@ -85,6 +90,7 @@ def _init_tail_fused_direct(padded_tail: np.ndarray, tb: int,
     rows = 2 * n_t + e
     vb = v * tb
     ext_idx = jnp.arange(rows) % n_t
+    packed = dtype == jnp.bfloat16
 
     pad_to = n_t * tb - lt
 
@@ -97,17 +103,25 @@ def _init_tail_fused_direct(padded_tail: np.ndarray, tb: int,
         ext = jnp.take(spec, ext_idx, axis=1)           # [C, rows, 2, B]
         c = chunk_ir.shape[0]
         fused = jnp.transpose(ext, (2, 1, 0, 3)).reshape(2, rows, c * tb)
+        if packed:
+            return jax.lax.dynamic_update_slice(
+                tab, pack_c32_planes(fused), (0, c0)
+            )
         return jax.lax.dynamic_update_slice(
             tab, fused.astype(dtype), (0, 0, c0)
         )
 
-    table = jnp.zeros((2, rows, vb), dtype)
+    if packed:
+        table = jnp.zeros((rows, vb), jnp.uint32)
+    else:
+        table = jnp.zeros((2, rows, vb), dtype)
     for c0 in range(0, v, chunk):
         piece = np.ascontiguousarray(padded_tail[c0: c0 + chunk])
         table = write(table, jnp.asarray(piece), jnp.asarray(c0 * tb, jnp.int32))
 
     return uniform.UniformState(
-        segments=jnp.zeros((2, n_t, vb), dtype),
+        segments=(jnp.zeros((n_t, vb), jnp.uint32) if packed
+                  else jnp.zeros((2, n_t, vb), dtype)),
         segments_ir=table,
         overlap=jnp.zeros((v, tb), jnp.float32),
         input_buffer=jnp.zeros((v, tb), jnp.float32),
@@ -159,12 +173,16 @@ def farm2_init(irs, block_size: int, max_response_length: int,
     (one MXU-batched DFT per stage instead of V python loops).
 
     ``tail_dtype=jnp.bfloat16`` stores the big tail's IR table and input
-    ring in bf16 (all arithmetic stays f32): the tail MAC is pure HBM
-    bandwidth, so this halves both the dominant per-call traffic and the
-    per-voice memory (~2x loadable voices).  Accuracy: the tail
-    contribution carries bf16's ~3 significant decimal digits (~1e-3
-    relative) instead of the f32 engines' 1e-5 parity — appropriate for
-    the reverb-tail part of the response, opt-in for throughput serving.
+    ring at bf16 precision (all arithmetic stays f32): the tail MAC is
+    pure HBM bandwidth, so this halves both the dominant per-call traffic
+    and the per-voice memory (~2x loadable voices).  Storage is
+    PLANE-PACKED uint32 words — re/im bf16 halves of each bin in one
+    32-bit word (ops/packing.py), so loads keep f32 tiling/alignment and
+    unpack with lane-local integer ops instead of a sublane re-tiling
+    cast.  Accuracy: the tail contribution carries bf16's ~3 significant
+    decimal digits (~1e-3 relative) instead of the f32 engines' 1e-5
+    parity — appropriate for the reverb-tail part of the response,
+    opt-in for throughput serving.
     """
     irs = np.asarray(irs, np.float32)
     v = irs.shape[0]
@@ -192,12 +210,13 @@ def farm2_init(irs, block_size: int, max_response_length: int,
         tail0_state = jax.tree.map(lambda l: jnp.broadcast_to(l, (v,) + l.shape), t0s)
 
     if max_response_length > 2 * tb:
-        # pad the big tail to a multiple of 8 (f32) / 16 (bf16) segments:
-        # trailing zero segments are live-but-silent exactly like init's
-        # zero padding (src/fft_convolver.rs:111-118), and the Pallas tail
-        # MAC's DMA / load slices then stay sublane-tile-aligned (a Mosaic
-        # requirement; the bf16 tile is (16, 128))
-        sub = 16 if tail_dtype == jnp.bfloat16 else 8
+        # pad the big tail to a multiple of 8 segments: trailing zero
+        # segments are live-but-silent exactly like init's zero padding
+        # (src/fft_convolver.rs:111-118), and the Pallas tail MAC's DMA /
+        # load slices then stay sublane-tile-aligned (a Mosaic
+        # requirement; both f32 and packed-bf16 storage are 32-bit wide,
+        # so the tile is (8, 128) in either case)
+        sub = 8
         t_len = -(-(max_response_length - 2 * tb) // (sub * tb)) * (sub * tb)
         tail_cfg = uniform.make_config(tb, t_len)
         tail_state = _init_tail_fused_direct(
@@ -303,10 +322,15 @@ def farm2_update(cfg: two_stage.TwoStageConfig, state: two_stage.TwoStageState,
             ext = jnp.take(spec, ext_idx, axis=1)       # [C, rows, 2, B]
             fused = jnp.transpose(ext, (2, 1, 0, 3)).reshape(
                 2, rows, chunk * tb
-            ).astype(tab.dtype)
-            tab = jax.lax.dynamic_update_slice(
-                tab, fused, (0, 0, idx * (chunk * tb))
             )
+            if tab.dtype == jnp.uint32:  # plane-packed bf16 storage
+                tab = jax.lax.dynamic_update_slice(
+                    tab, pack_c32_planes(fused), (0, idx * (chunk * tb))
+                )
+            else:
+                tab = jax.lax.dynamic_update_slice(
+                    tab, fused.astype(tab.dtype), (0, 0, idx * (chunk * tb))
+                )
             return tab, None
 
         table, _ = jax.lax.scan(
@@ -357,6 +381,19 @@ def _pmul_sum_fused(a: jnp.ndarray, b: jnp.ndarray, m0: jnp.ndarray) -> jnp.ndar
     return jnp.stack([re, im], axis=0)
 
 
+def _pmul_sum_packed(aw: jnp.ndarray, bw: jnp.ndarray,
+                     m0: jnp.ndarray) -> jnp.ndarray:
+    """:func:`_pmul_sum_fused` over plane-packed uint32 operands
+    ``[N, VB]`` (ops/packing.py): the unpack is lane-local integer ops
+    that XLA fuses into the same single reduction pass."""
+    ar, ai = unpack_c32(aw)
+    br, bi = unpack_c32(bw)
+    cross = ai * bi
+    re = jnp.sum(ar * br - cross * (1.0 - m0), axis=0)
+    im = jnp.sum((ar * bi + ai * br) * (1.0 - m0) + cross * m0, axis=0)
+    return jnp.stack([re, im], axis=0)
+
+
 def _tail_corr_phased_fused(cfg: uniform.UniformConfig,
                             state: uniform.UniformState,
                             blocks_rows: jnp.ndarray,
@@ -388,10 +425,11 @@ def _tail_corr_phased_fused(cfg: uniform.UniformConfig,
     # transpose, negligible next to the ring/table reads)
     specs = jnp.swapaxes(rdft_block(blocks_rows, cfg.fft_size, precision), 1, 2)
     specs = specs.reshape(t_blocks, 2, v * bs)
-    ext2 = state.segments_ir                          # [2, 2N+E, VB]
-    u = state.segments                                # [2, N, VB]
+    ext2 = state.segments_ir           # [2, 2N+E, VB] (packed: [2N+E, VB])
+    u = state.segments                 # [2, N, VB]    (packed: [N, VB])
     q = state.current
     m0 = _lane0_fused(v * bs, bs)
+    packed = u.dtype == jnp.uint32     # plane-packed bf16 (ops/packing.py)
 
     vb = v * bs
     if mac in ("pallas", "pallas_interpret"):
@@ -408,12 +446,22 @@ def _tail_corr_phased_fused(cfg: uniform.UniformConfig,
         # windows: XLA fuses each slice into its consumer (a shared
         # materialized window was measured to cost a full-window HLO temp
         # PLUS a relayout copy of it — 5.6 GB at 131 voices)
-        base = jnp.stack([
-            _pmul_sum_fused(
-                jax.lax.dynamic_slice_in_dim(ext2, q + t, n, axis=1), u, m0
-            )
-            for t in range(t_blocks)
-        ])
+        if packed:
+            base = jnp.stack([
+                _pmul_sum_packed(
+                    jax.lax.dynamic_slice_in_dim(ext2, q + t, n, axis=0),
+                    u, m0
+                )
+                for t in range(t_blocks)
+            ])
+        else:
+            base = jnp.stack([
+                _pmul_sum_fused(
+                    jax.lax.dynamic_slice_in_dim(ext2, q + t, n, axis=1),
+                    u, m0
+                )
+                for t in range(t_blocks)
+            ])
 
         # corrections, planes-separate: every read of the big arrays here
         # is a single (plane, row) 1-D extraction — contiguous in the
@@ -421,7 +469,9 @@ def _tail_corr_phased_fused(cfg: uniform.UniformConfig,
         # [2, VB]-shaped ``ext2[:, t-s]`` slice made XLA relayout-copy the
         # ENTIRE table into a plane-on-sublanes layout (a [2, 192, VB]
         # HLO temp, ~8 ms of HBM traffic at 128 voices), and pre-slicing
-        # did not help (XLA propagates layout through slices).
+        # did not help (XLA propagates layout through slices).  Packed
+        # storage has no plane axis: one uint32 row read, unpacked in the
+        # consumer.
         def row1(a, plane, r):
             """a[plane, r] as a 1-D f32 [VB] read (r may be traced)."""
             return jax.lax.dynamic_slice(
@@ -431,15 +481,26 @@ def _tail_corr_phased_fused(cfg: uniform.UniformConfig,
                 (1, 1, vb),
             ).reshape(vb).astype(jnp.float32)
 
+        def rows2(a, r):
+            """(re, im) of row ``r``: packed word row unpacked, or the
+            two plane reads."""
+            if packed:
+                w = jax.lax.dynamic_slice(
+                    a, (jnp.asarray(r, jnp.int32), jnp.asarray(0, jnp.int32)),
+                    (1, vb),
+                ).reshape(vb)
+                return unpack_c32(w)
+            return row1(a, 0, r), row1(a, 1, r)
+
         convs = []
         for t in range(t_blocks):
             acc_re, acc_im = base[t, 0], base[t, 1]
             for s in range(t + 1):
                 row_s = jnp.mod(n - q - s, n)
-                dre = specs[s, 0] - row1(u, 0, row_s)
-                dim = specs[s, 1] - row1(u, 1, row_s)
-                kr = row1(ext2, 0, t - s)
-                ki = row1(ext2, 1, t - s)
+                u_re, u_im = rows2(u, row_s)
+                dre = specs[s, 0] - u_re
+                dim = specs[s, 1] - u_im
+                kr, ki = rows2(ext2, t - s)
                 cross = dim * ki
                 acc_re = acc_re + dre * kr - cross * (1.0 - m0)
                 acc_im = (acc_im + (dre * ki + dim * kr) * (1.0 - m0)
@@ -447,7 +508,7 @@ def _tail_corr_phased_fused(cfg: uniform.UniformConfig,
             convs.append(jnp.stack([acc_re, acc_im]))
         convs = jnp.stack(convs)                      # [T, 2, VB]
 
-        k0r, k0i = row1(ext2, 0, 0), row1(ext2, 1, 0)
+        k0r, k0i = rows2(ext2, 0)
         sr, si = specs[-1, 0], specs[-1, 1]
         cross0 = si * k0i
         pre = convs[-1] - jnp.stack([
@@ -457,9 +518,14 @@ def _tail_corr_phased_fused(cfg: uniform.UniformConfig,
 
     for s in range(t_blocks):
         row_s = jnp.mod(n - q - s, n)
-        u = jax.lax.dynamic_update_slice_in_dim(
-            u, specs[s][:, None].astype(u.dtype), row_s, axis=1
-        )
+        if packed:
+            u = jax.lax.dynamic_update_slice_in_dim(
+                u, pack_c32_planes(specs[s])[None], row_s, axis=0
+            )
+        else:
+            u = jax.lax.dynamic_update_slice_in_dim(
+                u, specs[s][:, None].astype(u.dtype), row_s, axis=1
+            )
 
     outs = irdft_block(
         jnp.swapaxes(convs.reshape(t_blocks, 2, v, bs), 1, 2), cfg.fft_size,
@@ -683,9 +749,13 @@ def farm2_shard(mesh, state: two_stage.TwoStageState) -> two_stage.TwoStageState
         )
 
     tail = state.tail
+    # plane-packed bf16 storage drops the leading plane axis (rank 2:
+    # [rows, V*B] uint32) — the fused V*B axis is the LAST one either way
+    big = (P(None, "dp") if tail.segments.ndim == 2
+           else P(None, None, "dp"))
     tail = uniform.UniformState(
-        segments=put(tail.segments, P(None, None, "dp")),
-        segments_ir=put(tail.segments_ir, P(None, None, "dp")),
+        segments=put(tail.segments, big),
+        segments_ir=put(tail.segments_ir, big),
         overlap=put(tail.overlap, P("dp")),
         input_buffer=put(tail.input_buffer, P("dp")),
         pre_multiplied=put(tail.pre_multiplied, P(None, "dp")),

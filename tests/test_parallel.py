@@ -263,8 +263,10 @@ def test_farm2_bf16_tail_close_to_f32():
 
     cfg_f, state_f = farm2.farm2_init(irs, b, ir_len)
     cfg_b, state_b = farm2.farm2_init(irs, b, ir_len, tail_dtype=jnp.bfloat16)
-    assert state_b.tail.segments_ir.dtype == jnp.bfloat16
-    assert cfg_b.tail.seg_count % 16 == 0
+    # bf16 tail storage is plane-packed uint32 words (ops/packing.py)
+    assert state_b.tail.segments_ir.dtype == jnp.uint32
+    assert state_b.tail.segments_ir.ndim == 2
+    assert cfg_b.tail.seg_count % 8 == 0
     t = 2 * cfg_f.period
     x = rng.standard_normal((2 * t, v, b)).astype(np.float32)
 
@@ -613,3 +615,35 @@ def test_reverb_farm_khat_cache_coherent():
         np.testing.assert_allclose(
             y2[:, voice, :].reshape(-1), r2, atol=1e-5,
             err_msg=f"voice {voice}: stale khat after update()?")
+
+
+def test_farm2_bf16_update_packed_table():
+    """farm2_update must rebuild the PACKED uint32 tail table correctly:
+    post-update streams track the f32 farm at bf16 tolerance."""
+    from fft_convolution_tpu.parallel import farm2
+
+    rng = np.random.default_rng(43)
+    v, b = 2, 64
+    ir_len = 9000
+    irs = rng.standard_normal((v, ir_len)).astype(np.float32) * 0.05
+    new_irs = rng.standard_normal((v, ir_len)).astype(np.float32) * 0.05
+
+    cfg_f, state_f = farm2.farm2_init(irs, b, ir_len)
+    cfg_b, state_b = farm2.farm2_init(irs, b, ir_len, tail_dtype=jnp.bfloat16)
+    t = 2 * cfg_f.period
+    x = rng.standard_normal((2 * t, v, b)).astype(np.float32)
+
+    run_f = jax.jit(functools.partial(farm2.farm2_stream, cfg_f))
+    run_b = jax.jit(functools.partial(farm2.farm2_stream, cfg_b))
+    upd_f = jax.jit(functools.partial(farm2.farm2_update, cfg_f))
+    upd_b = jax.jit(functools.partial(farm2.farm2_update, cfg_b))
+
+    state_f, _ = run_f(state_f, jnp.asarray(x[:t]))
+    state_b, _ = run_b(state_b, jnp.asarray(x[:t]))
+    state_f = upd_f(state_f, jnp.asarray(new_irs))
+    state_b = upd_b(state_b, jnp.asarray(new_irs))
+    assert state_b.tail.segments_ir.dtype == jnp.uint32
+    _, y_f = run_f(state_f, jnp.asarray(x[t:]))
+    _, y_b = run_b(state_b, jnp.asarray(x[t:]))
+    scale = np.max(np.abs(np.asarray(y_f)))
+    assert np.max(np.abs(np.asarray(y_b) - np.asarray(y_f))) < 2e-2 * scale
