@@ -253,11 +253,30 @@ def main() -> None:
 
     pallas_parity["farm_tail_rel"] = float(gate_farm(fstate, xf))
 
+    # the plane-packed bf16 farm kernel (ops/packing.py): pallas vs the
+    # packed jnp core on the SAME uint32 state — both decode the same
+    # words, so the comparison is at f32-arithmetic tolerance
+    bcfg, bstate = farm2.farm2_init(irs_f, block, irs_f.shape[1],
+                                    tail_dtype=jnp.bfloat16)
+
+    @jax.jit
+    def gate_farm_bf16(st, xs):
+        st_p, yp1 = farm2.farm2_stream(bcfg, st, xs, tail_mac=farm_mac)
+        _, yp2 = farm2.farm2_stream(bcfg, st_p, xs, tail_mac=farm_mac)
+        st_j, yj1 = farm2.farm2_stream(bcfg, st, xs, tail_mac="jnp")
+        _, yj2 = farm2.farm2_stream(bcfg, st_j, xs, tail_mac="jnp")
+        dmax = jnp.maximum(jnp.max(jnp.abs(yp1 - yj1)),
+                           jnp.max(jnp.abs(yp2 - yj2)))
+        return dmax / jnp.max(jnp.abs(yj2))
+
+    pallas_parity["farm_tail_bf16_rel"] = float(gate_farm_bf16(bstate, xf))
+
     log(f"pallas on-{'tpu' if on_tpu else 'cpu(interpret)'} parity gates "
         f"({time.perf_counter() - t0:.1f} s): " +
         ", ".join(f"{k}={v:.3e}" for k, v in pallas_parity.items()))
     gate_tols = {"uniform_step": 1e-4, "two_stage_step": 1e-4,
-                 "grid_stream": 1e-4, "farm_tail_rel": 2e-4}
+                 "grid_stream": 1e-4, "farm_tail_rel": 2e-4,
+                 "farm_tail_bf16_rel": 2e-4}
     for k, v in pallas_parity.items():
         if not (v <= gate_tols[k]):  # catches NaN too
             fail(f"pallas kernel parity failure: {k}={v:.3e}")
