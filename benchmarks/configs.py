@@ -17,7 +17,7 @@ import time
 SR = 48000
 
 
-def _chain_time(fn, state, x, chain=4, reps=3):
+def _chain_time(fn, state, x, chain=4, reps=3, aux=None):
     """Device wall time of one ``fn(state, x)`` stream.
 
     Two-point slope methodology: the relay fronting this TPU costs ~25 ms
@@ -25,6 +25,11 @@ def _chain_time(fn, state, x, chain=4, reps=3):
     link.  Timing scans of ``c1`` and ``c2`` chained iterations and taking
     ``(T(c2) - T(c1)) / (c2 - c1)`` cancels every per-call constant exactly,
     leaving pure device time per iteration.
+
+    ``aux``: optional device pytree passed as ``fn(state, x, aux)`` — a
+    traced ARGUMENT, because closing over device arrays bakes them into
+    the serialized program and the remote-compile relay rejects bodies
+    beyond a few MB (HTTP 413).
     """
     import jax
     import jax.numpy as jnp
@@ -35,11 +40,11 @@ def _chain_time(fn, state, x, chain=4, reps=3):
 
     def build(length):
         @functools.partial(jax.jit, donate_argnums=(0,))
-        def chained(st, xs):
+        def chained(st, xs, ax):
             # donated state: the scan carry ping-pongs in place (multi-GB
             # farm states would otherwise exist in triplicate and OOM)
             def body(s, _):
-                s2, y = fn(s, xs)
+                s2, y = fn(s, xs) if ax is None else fn(s, xs, ax)
                 return s2, jnp.sum(y)
             sf, sums = jax.lax.scan(body, st, None, length=length)
             return sf, jnp.sum(sums)
@@ -48,12 +53,12 @@ def _chain_time(fn, state, x, chain=4, reps=3):
     run1, run2 = build(c1), build(c2)
 
     def timed(run, st):
-        st, v = run(st, x)   # warm (compile)
+        st, v = run(st, x, aux)   # warm (compile)
         _ = float(v)
         best = float("inf")
         for _i in range(reps):
             t0 = time.perf_counter()
-            st, v = run(st, x)
+            st, v = run(st, x, aux)
             _ = float(v)
             best = min(best, time.perf_counter() - t0)
         return st, best
@@ -255,9 +260,15 @@ def config5_reverb_farm(voices: int = 1024, ir_seconds: int = 60,
     x = jnp.asarray(rng.standard_normal((t, voices, block)).astype(np.float32))
     # the single-pass Pallas tail MAC is TPU-only (jnp core elsewhere)
     mac = "pallas" if jax.devices()[0].platform == "tpu" else "jnp"
+    # serve with the precomputed head-kernel meta-DFT, as ReverbFarm does
+    # (khat is input-independent between IR updates); it rides as a traced
+    # argument — see _chain_time's aux note
+    khat = jax.jit(functools.partial(farm2.farm2_head_khat, cfg),
+                   static_argnums=(1,))(state, t)
     wall = _chain_time(
-        functools.partial(farm2.farm2_stream, cfg, tail_mac=mac),
-        state, x, chain=2,
+        lambda st, xs, kh: farm2.farm2_stream(cfg, st, xs, tail_mac=mac,
+                                              head_khat=kh),
+        state, x, chain=2, aux=khat,
     )
     audio = t * block / SR
     xrt = audio / wall

@@ -27,12 +27,44 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..models import uniform
 
 
+def farm_bytes_per_voice(block_size: int, max_response_length: int) -> int:
+    """Device bytes per uniform-farm voice: the segments ring + IR spectra
+    table dominate at ``2 x seg_count x 2 x fft_size/2`` f32 each, ~16L
+    for the tables plus the doubled-IR stream window transient — ~45L
+    total with L = ``max_response_length``.  Steeper than farm2's ~16L:
+    the uniform engine keeps EVERY segment at the head block size, so
+    long-IR many-voice farms should use :class:`api_farm.ReverbFarm`
+    (two-stage farm2) instead — see :func:`farm_init`'s check."""
+    cfg = uniform.make_config(block_size, max_response_length)
+    # ring + IR spectra table: 2 leaves x [seg_count, 2, fft_size/2] f32
+    # = ~16L resident; the stream core's doubled-ring history slice and
+    # extended-window/rebuild transients empirically bring the peak to
+    # ~45L (the measured figure behind CLAUDE.md's memory model)
+    table = 2 * cfg.seg_count * 2 * (cfg.fft_size // 2) * 4
+    return int(table * 2.8)
+
+
 def farm_init(
     irs: jnp.ndarray, block_size: int, max_response_length: int
 ) -> Tuple[uniform.UniformConfig, uniform.UniformState]:
     """Initialize V voices from ``irs [V, ir_len]``.  Returns one shared
-    config and a stacked state pytree with leading voice axis V."""
+    config and a stacked state pytree with leading voice axis V.
+
+    Memory ceiling: ~:func:`farm_bytes_per_voice` per voice (~45L —
+    every segment is block-sized, unlike the two-stage farm2's ~16L).
+    Farms whose estimated footprint exceeds a 16 GB chip raise eagerly
+    with a pointer to :class:`api_farm.ReverbFarm` rather than OOMing
+    mid-init."""
     irs = jnp.asarray(irs, jnp.float32)
+    est = irs.shape[0] * farm_bytes_per_voice(block_size, max_response_length)
+    if est > 15e9:
+        raise ValueError(
+            f"uniform farm of {irs.shape[0]} voices x {max_response_length} "
+            f"samples needs ~{est/1e9:.1f} GB (> one 16 GB chip). Long-IR "
+            "farms should use the two-stage ReverbFarm (parallel/farm2), "
+            "whose per-voice memory is ~3x smaller, or shard this farm "
+            "over a mesh (shard_farm)."
+        )
     if max_response_length < irs.shape[-1]:
         raise ValueError(
             "max_response_length must be at least the length of the initial "

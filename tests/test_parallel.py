@@ -647,3 +647,14 @@ def test_farm2_bf16_update_packed_table():
     _, y_b = run_b(state_b, jnp.asarray(x[t:]))
     scale = np.max(np.abs(np.asarray(y_f)))
     assert np.max(np.abs(np.asarray(y_b) - np.asarray(y_f))) < 2e-2 * scale
+
+
+def test_uniform_farm_memory_ceiling():
+    """A uniform farm that cannot fit one chip must raise eagerly with a
+    pointer to the two-stage ReverbFarm, not OOM mid-init."""
+    import pytest
+
+    with pytest.raises(ValueError, match="ReverbFarm"):
+        farm.farm_init(np.zeros((256, 48000 * 60), np.float32), 128,
+                       48000 * 60)
+    assert farm.farm_bytes_per_voice(128, 48000 * 60) > 100e6
