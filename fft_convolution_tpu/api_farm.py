@@ -6,8 +6,9 @@ single-threaded; its only nod to scale is the "background thread" comment
 at ``:478``); the farm is this framework's own scale story: V two-stage
 voices with DISTINCT long IRs batched on one chip — fused head/tail0
 streams, the fused-voice phased big tail served by the single-pass Pallas
-step kernel, ~4,300 realtime 60 s voices per v5e chip at f32 (or ~1.4x
-the voices at bf16 tail storage).
+step kernel, head-kernel meta-DFT cached per IR epoch — ~4,950 realtime
+60 s voices per v5e chip at f32, ~6,100 with the plane-packed bf16 tail
+(which also fits ~1.4x the voices).
 
 Contract mirrors the per-voice :class:`TwoStageFFTConvolver` where it
 can: ``process`` streams audio, ``update`` is the batched RT-safe IR swap
@@ -45,8 +46,9 @@ class ReverbFarm:
         length up to this.
     tail_dtype : ``jnp.float32`` (default) or ``jnp.bfloat16`` — bf16
         stores the big tail's IR table and spectra ring at half the
-        memory (~1.4x voices/chip) with a ~1e-3 relative tolerance on
-        the tail contribution.
+        memory (~1.4x voices/chip) AND ~1.25x the throughput, with a
+        ~1e-3 relative tolerance on the tail contribution.  Storage is
+        plane-packed uint32 words (ops/packing.py).
     tail_mac : "auto" (Pallas step kernel on TPU, jnp core elsewhere),
         "pallas", "pallas_interpret", or "jnp".
     mesh : optional ``jax.sharding.Mesh`` with a ``"dp"`` axis — the
