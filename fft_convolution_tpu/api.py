@@ -60,6 +60,12 @@ def _jit_stream(cfg: uniform.UniformConfig):
 
 
 @functools.lru_cache(maxsize=None)
+def _jit_stream_khat(cfg: uniform.UniformConfig):
+    return jax.jit(functools.partial(uniform.stream_khat, cfg),
+                   static_argnums=(1,))
+
+
+@functools.lru_cache(maxsize=None)
 def _jit_update(cfg: uniform.UniformConfig):
     return jax.jit(functools.partial(uniform.update, cfg))
 
@@ -97,6 +103,10 @@ class FFTConvolver:
         # host shadow of input_fill: drives the chunking loop without a
         # device sync per call (kept in lockstep with state.input_fill)
         self._fill = 0
+        # stream-MAC kernel meta-spectra (models.uniform.stream_khat),
+        # cached per meta-DFT length m: input-independent between IR
+        # updates, one third of the stream MAC's matmul work per call
+        self._khat_cache = {}
 
     # -- trait methods ------------------------------------------------------
 
@@ -113,6 +123,8 @@ class FFTConvolver:
         self.state = _jit_update(self.cfg)(
             self.state, jnp.asarray(padded), jnp.asarray(new_len, jnp.int32)
         )
+        # cached khat belongs to the OLD table/mask
+        self._khat_cache.clear()
 
     def reset(self) -> None:
         self.state = _jit_reset(self.cfg)(self.state)
@@ -130,7 +142,20 @@ class FFTConvolver:
         if n == 0:
             return np.zeros((0,), np.float32)
         if self._fill == 0 and n % b == 0:
-            self.state, y = _jit_stream(self.cfg)(self.state, jnp.reshape(x, (-1, b)))
+            t = n // b
+            kh = None
+            if b <= 2048 and t >= 8:  # the conv fast path's static gate
+                from .ops.fft import next_power_of_two
+
+                m = (next_power_of_two(self.cfg.seg_count - 1 + t)
+                     if self.cfg.seg_count > 1 else next_power_of_two(t))
+                kh = self._khat_cache.get(m)
+                if kh is None:
+                    kh = _jit_stream_khat(self.cfg)(self.state, t)
+                    self._khat_cache[m] = kh
+            self.state, y = _jit_stream(self.cfg)(
+                self.state, jnp.reshape(x, (-1, b)), kern_hat=kh
+            )
             return np.asarray(y).reshape(-1)
         return self._process_chunked(x)
 
@@ -163,10 +188,15 @@ class FFTConvolver:
 
     def restore(self, snap) -> None:
         self.state, self._fill = snap
+        # the snapshot may carry a different IR table than the cached khat
+        self._khat_cache.clear()
 
     def clone(self) -> "FFTConvolver":
         other = object.__new__(FFTConvolver)
         other.cfg = self.cfg
         other.state = self.state  # immutable pytree: sharing is safe
         other._fill = self._fill
+        # own cache: an update() on either must not leave the other
+        # reading khat of the wrong table
+        other._khat_cache = dict(self._khat_cache)
         return other

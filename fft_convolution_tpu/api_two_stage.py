@@ -34,6 +34,12 @@ def _jit_stream_aligned(cfg: two_stage.TwoStageConfig):
 
 
 @functools.lru_cache(maxsize=None)
+def _jit_stream_khats(cfg: two_stage.TwoStageConfig):
+    return jax.jit(functools.partial(two_stage.stream_khats, cfg),
+                   static_argnums=(1,))
+
+
+@functools.lru_cache(maxsize=None)
 def _jit_reset(cfg: two_stage.TwoStageConfig):
     return jax.jit(functools.partial(two_stage.reset, cfg))
 
@@ -62,6 +68,10 @@ class TwoStageFFTConvolver:
         self.cfg, self.state = two_stage.init(response, block_size, max_response_length)
         self._fill = 0         # host shadow of tail_input_fill % head_block
         self._period_fill = 0  # host shadow of tail_input_fill (period position)
+        # head/tail0 stream-MAC kernel meta-spectra
+        # (models.two_stage.stream_khats), cached per aligned-stream T:
+        # input-independent between IR updates
+        self._khat_cache = {}
 
     def update(self, response) -> None:
         """``todo!()`` in the reference (``src/fft_convolver.rs:408-410``) —
@@ -93,6 +103,8 @@ class TwoStageFFTConvolver:
             self.state, jnp.asarray(padded),
             jnp.asarray(response.shape[0], jnp.int32),
         )
+        # cached khats belong to the OLD stage tables
+        self._khat_cache.clear()
 
     def reset(self) -> None:
         self.state = _jit_reset(self.cfg)(self.state)
@@ -118,9 +130,25 @@ class TwoStageFFTConvolver:
                 (pre + aligned, n, _jit_stream(self.cfg)),
             ):
                 if hi > lo:
-                    self.state, y = fn(
-                        self.state, jnp.reshape(x[lo:hi], (-1, b))
-                    )
+                    if fn is not _jit_stream_aligned(self.cfg):
+                        self.state, y = fn(
+                            self.state, jnp.reshape(x[lo:hi], (-1, b))
+                        )
+                    else:
+                        # aligned fast path: serve with the cached
+                        # input-independent head/tail0 kernel meta-DFTs
+                        # (keyed per T: head and tail0 may round to
+                        # different meta lengths, and a T key can never
+                        # serve a mismatched pair)
+                        t = (hi - lo) // b
+                        khats = self._khat_cache.get(t)
+                        if khats is None:
+                            khats = _jit_stream_khats(self.cfg)(self.state, t)
+                            self._khat_cache[t] = khats
+                        self.state, y = fn(
+                            self.state, jnp.reshape(x[lo:hi], (-1, b)),
+                            khats=khats,
+                        )
                     pieces.append(np.asarray(y).reshape(-1))
             self._period_fill = (self._period_fill + n) % tb
             return pieces[0] if len(pieces) == 1 else np.concatenate(pieces)
@@ -153,6 +181,8 @@ class TwoStageFFTConvolver:
 
     def restore(self, snap) -> None:
         self.state, self._fill, self._period_fill = snap
+        # the snapshot may carry different stage tables than the cached khats
+        self._khat_cache.clear()
 
     def clone(self) -> "TwoStageFFTConvolver":
         other = object.__new__(TwoStageFFTConvolver)
@@ -160,4 +190,7 @@ class TwoStageFFTConvolver:
         other.state = self.state
         other._fill = self._fill
         other._period_fill = self._period_fill
+        # own cache: an update on either must not leave the other reading
+        # khats of the wrong tables
+        other._khat_cache = dict(self._khat_cache)
         return other

@@ -412,10 +412,27 @@ def process_stream(cfg: TwoStageConfig, state: TwoStageState,
     return jax.lax.scan(step, state, blocks)
 
 
+def stream_khats(cfg: TwoStageConfig, state: TwoStageState, t: int):
+    """Precompute the head and tail0 stages' kernel meta-spectra
+    (:func:`models.uniform.stream_khat`) for ``T = t``-block aligned
+    stream calls — input-independent between IR updates, one third of
+    each stage's meta-DFT matmul work hoisted out of every call.
+
+    The main tail streams at a huge block size, which routes through the
+    hoisted-DFT ring scan (no meta-DFT), so only two khats exist.
+    Jittable; pass to :func:`process_stream_aligned` as ``khats=``.
+    """
+    kh_head = uniform.stream_khat(cfg.head, state.head, t)
+    kh_t0 = (uniform.stream_khat(cfg.tail0, state.tail0, t)
+             if cfg.tail0 is not None else None)
+    return kh_head, kh_t0
+
+
 def process_stream_aligned(cfg: TwoStageConfig, state: TwoStageState,
                            blocks: jnp.ndarray,
                            small_stream=None,
-                           big_stream=None) -> Tuple[TwoStageState, jnp.ndarray]:
+                           big_stream=None,
+                           khats=None) -> Tuple[TwoStageState, jnp.ndarray]:
     """Period-aligned batched streaming — the TPU-native throughput path.
 
     Requires ``state.tail_fill == 0`` and ``T % period == 0`` (the host
@@ -446,14 +463,25 @@ def process_stream_aligned(cfg: TwoStageConfig, state: TwoStageState,
     assert q * p == t, "process_stream_aligned requires T % period == 0"
     # pluggable per-stage stream cores: the vmapped farm passes unguarded
     # cores so voice-batching does not turn the safety conds into
-    # execute-both-branches selects
-    small_stream = small_stream or uniform.process_stream
+    # execute-both-branches selects.  khats (:func:`stream_khats`) only
+    # apply to the DEFAULT small stream — custom cores manage their own.
+    kh_head, kh_t0 = khats if khats is not None else (None, None)
+    if small_stream is None:
+        def small_stream(ucfg, ust, blk, _kh=None):
+            return uniform.process_stream(ucfg, ust, blk, kern_hat=_kh)
+    else:
+        _user_small = small_stream
+
+        def small_stream(ucfg, ust, blk, _kh=None):
+            del _kh
+            return _user_small(ucfg, ust, blk)
     big_stream = big_stream or uniform.process_stream
 
-    head_state, y = small_stream(cfg.head, state.head, blocks)
+    head_state, y = small_stream(cfg.head, state.head, blocks, kh_head)
 
     if cfg.tail0 is not None:
-        tail0_state, out0 = small_stream(cfg.tail0, state.tail0, blocks)
+        tail0_state, out0 = small_stream(cfg.tail0, state.tail0, blocks,
+                                         kh_t0)
         per0 = out0.reshape(q, tb)
         contrib0 = jnp.concatenate([state.tail_precalc0[None], per0[:-1]], axis=0)
         y = y + contrib0.reshape(t, b)

@@ -35,6 +35,7 @@ import jax.numpy as jnp
 
 from ..ops.cpx import pmul, pmul_sum
 from ..ops.fft import (
+    causal_conv_khat,
     causal_conv_time,
     copy_and_pad,
     ir_to_spectra,
@@ -352,9 +353,32 @@ def _ring_scan_sliced(cfg: UniformConfig, state: UniformState, specs: jnp.ndarra
     )
 
 
+def stream_khat(cfg: UniformConfig, state: UniformState, t: int):
+    """Precompute the stream MAC's kernel meta-spectra for ``T = t``-block
+    calls of :func:`process_stream` — :func:`ops.fft.causal_conv_khat` of
+    the ACTIVITY-MASKED IR table (the mask is part of the kernel, so the
+    precompute stays valid for engines shrunk by ``update``).
+
+    Input-independent between IR updates; inline it is one of the three
+    equal-sized meta-DFT applications of every stream call.  Jittable;
+    valid for any ``T`` with the same ``next_power_of_two(N - 1 + T)``
+    (checked at trace time by :func:`ops.fft.causal_conv_time`).  Only
+    consumed by the conv fast path — the ring-scan fallback and the
+    huge-block path ignore it.
+    """
+    n = cfg.seg_count
+    m = next_power_of_two(n - 1 + t) if n > 1 else next_power_of_two(t)
+    i = jnp.arange(n, dtype=jnp.int32)
+    kern = jnp.where(
+        (i < state.active_segs)[:, None, None], state.segments_ir, 0.0
+    )
+    return causal_conv_khat(kern, m)
+
+
 def _stream_conv(cfg: UniformConfig, state: UniformState,
                  specs: jnp.ndarray,
-                 assume_full_ring: bool = False) -> Tuple[UniformState, jnp.ndarray]:
+                 assume_full_ring: bool = False,
+                 kern_hat=None) -> Tuple[UniformState, jnp.ndarray]:
     """Fully parallel stream core: the FDL recurrence
     ``conv[t] = sum_i IR[i] (*) X[t-i]`` is a causal convolution along the
     block axis, computed with a second DFT along that axis
@@ -405,8 +429,12 @@ def _stream_conv(cfg: UniformConfig, state: UniformState,
     # matmuls, vs ~100 GFLOPS for the grouped-conv HLO lowering.
     # The mask materializes a full copy of the IR table (the flagship
     # program's single biggest op by HLO cost estimate), so the common
-    # full-ring case skips it behind a scalar cond.
-    if assume_full_ring:
+    # full-ring case skips it behind a scalar cond.  A precomputed
+    # ``kern_hat`` (:func:`stream_khat`, already mask-folded) skips BOTH
+    # the mask and the kernel-side meta-DFT.
+    if kern_hat is not None:
+        kern = state.segments_ir  # shape source only — khat replaces its DFT
+    elif assume_full_ring:
         kern = state.segments_ir
     else:
         i = jnp.arange(n, dtype=jnp.int32)
@@ -417,7 +445,7 @@ def _stream_conv(cfg: UniformConfig, state: UniformState,
                 (i < active)[:, None, None], state.segments_ir, 0.0
             ),
         )
-    convs = causal_conv_time(ext, kern, t)                   # [T, 2, B]
+    convs = causal_conv_time(ext, kern, t, kern_hat=kern_hat)  # [T, 2, B]
 
     # rebuild the ring: current' points at the NEXT write slot; slot at
     # offset d from it holds X[T-d] (d=0 wraps to the oldest, delay=active)
@@ -741,10 +769,16 @@ def stream_conv_farm(cfg: UniformConfig, state: UniformState,
 
 
 def process_stream(cfg: UniformConfig, state: UniformState,
-                   blocks: jnp.ndarray) -> Tuple[UniformState, jnp.ndarray]:
+                   blocks: jnp.ndarray,
+                   kern_hat=None) -> Tuple[UniformState, jnp.ndarray]:
     """Batched streaming over ``[T, block_size]`` — the TPU-native
     replacement for the caller's audio-callback loop
     (``examples/compare_partitioned.rs:30-48``).
+
+    ``kern_hat``: optional :func:`stream_khat` precompute for this call's
+    ``T`` — hoists the input-independent kernel meta-DFT (one third of
+    the stream MAC's matmul work) out of the call.  Recompute after
+    ``update``; ignored by the ring-scan fallback and huge-block paths.
 
     A naive scan of :func:`process_block` leaves the MXU idle: every scan
     iteration dispatches two small DFT matmuls whose latency dominates.
@@ -779,7 +813,7 @@ def process_stream(cfg: UniformConfig, state: UniformState,
         if use_conv:
             new_state, convs = jax.lax.cond(
                 state.current < state.active_segs,
-                lambda: _stream_conv(cfg, state, specs),
+                lambda: _stream_conv(cfg, state, specs, kern_hat=kern_hat),
                 lambda: _stream_ring_scan(cfg, state, specs),
             )
         else:

@@ -55,7 +55,7 @@ from ..models import two_stage, uniform
 from ..ops.cpx import pmul_sum
 from ..ops.fft import (causal_conv_khat, causal_conv_time, ir_to_spectra,
                        irdft_block, next_power_of_two, rdft_block)
-from ..ops.packing import pack_c32_planes, unpack_c32
+from ..ops.packing import pack_c32, pack_c32_planes, unpack_c32
 from . import farm
 
 
@@ -320,17 +320,30 @@ def farm2_update(cfg: two_stage.TwoStageConfig, state: two_stage.TwoStageState,
                 lambda r: ir_to_spectra(r, tb, n_t), ch
             )                                           # [C, n, 2, B]
             ext = jnp.take(spec, ext_idx, axis=1)       # [C, rows, 2, B]
-            fused = jnp.transpose(ext, (2, 1, 0, 3)).reshape(
-                2, rows, chunk * tb
-            )
+
+            def plane_slab(p):
+                # [C, rows, B] -> [rows, C*B] without a plane-axis-moving
+                # rank-4 transpose: a [2, rows, L] slab operand inside the
+                # scan made layout assignment relayout the WHOLE table to
+                # plane-on-sublanes {2,0,1:T(2,128)} — a 6 GB boundary
+                # copy that OOMed the V=128 update at compile time (the
+                # same trap as the [2, VB] table reads, see the phased
+                # core's docstring)
+                return jnp.transpose(ext[:, :, p, :], (1, 0, 2)).reshape(
+                    rows, chunk * tb
+                )
+
             if tab.dtype == jnp.uint32:  # plane-packed bf16 storage
                 tab = jax.lax.dynamic_update_slice(
-                    tab, pack_c32_planes(fused), (0, idx * (chunk * tb))
+                    tab, pack_c32(plane_slab(0), plane_slab(1)),
+                    (0, idx * (chunk * tb))
                 )
             else:
-                tab = jax.lax.dynamic_update_slice(
-                    tab, fused.astype(tab.dtype), (0, 0, idx * (chunk * tb))
-                )
+                for plane in range(2):
+                    tab = jax.lax.dynamic_update_slice(
+                        tab, plane_slab(plane)[None].astype(tab.dtype),
+                        (plane, 0, idx * (chunk * tb))
+                    )
             return tab, None
 
         table, _ = jax.lax.scan(

@@ -179,3 +179,77 @@ def test_stream_corr_rebased_matches_sequential():
         np.testing.assert_allclose(
             np.asarray(corr_state.overlap), np.asarray(state.overlap),
             atol=1e-5)
+
+
+def test_stream_khat_exact_and_coherent():
+    """The precomputed stream-MAC kernel meta-DFT (uniform.stream_khat /
+    two_stage.stream_khats) must give BIT-identical streams (same matmul
+    program, hoisted), and the wrapper caches must be invalidated by
+    update()/update_extension() — a stale khat would silently serve the
+    old IR."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from fft_convolution_tpu import FFTConvolver, TwoStageFFTConvolver
+    from fft_convolution_tpu.models import two_stage, uniform
+
+    rng = np.random.default_rng(50)
+    b = 64
+    ir = rng.standard_normal(2000).astype(np.float32) * 0.1
+    t = 32
+    x = rng.standard_normal((t, b)).astype(np.float32)
+
+    # core-level exactness, incl. a shrunk-active engine (masked kernel)
+    cfg, state = uniform.init(ir, b, len(ir))
+    short = rng.standard_normal(900).astype(np.float32) * 0.1
+    padded = np.zeros(cfg.seg_count * b, np.float32)
+    padded[:900] = short
+    state = uniform.update(cfg, state, jnp.asarray(padded),
+                           jnp.asarray(900, jnp.int32))
+    kh = jax.jit(functools.partial(uniform.stream_khat, cfg),
+                 static_argnums=(1,))(state, t)
+    run = jax.jit(functools.partial(uniform.process_stream, cfg))
+    s1, y1 = run(state, jnp.asarray(x))
+    s2, y2 = run(state, jnp.asarray(x), kern_hat=kh)
+    np.testing.assert_array_equal(np.asarray(y1), np.asarray(y2))
+    np.testing.assert_array_equal(np.asarray(s1.segments),
+                                  np.asarray(s2.segments))
+
+    # two-stage aligned core with khats
+    ir_l = rng.standard_normal(60000).astype(np.float32) * 0.02
+    tcfg, tstate = two_stage.init(ir_l, b, len(ir_l))
+    tt = 2 * tcfg.period
+    xs = rng.standard_normal((tt, b)).astype(np.float32)
+    khs = jax.jit(functools.partial(two_stage.stream_khats, tcfg),
+                  static_argnums=(1,))(tstate, tt)
+    runa = jax.jit(functools.partial(two_stage.process_stream_aligned, tcfg))
+    _, ya = runa(tstate, jnp.asarray(xs))
+    _, yb = runa(tstate, jnp.asarray(xs), khats=khs)
+    np.testing.assert_array_equal(np.asarray(ya), np.asarray(yb))
+
+    # wrapper cache coherence across update()
+    c = FFTConvolver(ir, b, len(ir))
+    c.process(x.reshape(-1))
+    assert c._khat_cache
+    c.update(short)
+    assert not c._khat_cache
+    y_upd = c.process(x.reshape(-1))
+    c_ref = FFTConvolver(ir, b, len(ir))
+    c_ref.process(x.reshape(-1))
+    c_ref.update(short)
+    # same stream via the chunked path (khat-free) on a twin
+    np.testing.assert_allclose(
+        y_upd,
+        np.concatenate([c_ref.process(x.reshape(-1)[i: i + b])
+                        for i in range(0, t * b, b)]),
+        atol=1e-5,
+    )
+
+    e = TwoStageFFTConvolver(ir_l, b, len(ir_l))
+    e.process(xs.reshape(-1))
+    assert e._khat_cache
+    e.update_extension(rng.standard_normal(50000).astype(np.float32) * 0.02)
+    assert not e._khat_cache
