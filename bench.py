@@ -53,17 +53,25 @@ _RETRY_PAUSE_S = 45.0
 
 
 def slope_timed(build, c1: int, c2: int, label: str, retries: int = 2,
-                min_slope_s: float = 0.0):
+                min_slope_s: float = 0.0, samples: int = 1):
     """Two-point slope with relay-degradation hygiene.
 
     ``build(c)`` returns a nullary callable running a c-long chained
     program and forcing it with a scalar fetch; returns its wall time.
-    Takes the slope of best-of-3 timings at c1 and c2; if the implied
-    per-call intercept exceeds the healthy relay constant, OR the slope
-    falls below ``min_slope_s`` (a near-zero/negative slope means link
-    noise swamped the c1->c2 delta — physically impossible for a real
-    per-call cost floor), pauses and re-measures, keeping the best valid
-    attempt.
+    Takes the slope of best-of-3 timings at c1 and c2; an attempt is
+    INVALID if the implied per-call intercept exceeds the healthy relay
+    constant, or the slope falls below ``min_slope_s`` (a near-zero /
+    negative slope means link noise swamped the c1->c2 delta —
+    physically impossible for a real per-call cost floor).
+
+    The chip behind the relay is time-shared: co-tenant contention
+    INFLATES device time run to run (BENCH r03 saw 0.87 vs 1.21 ms for
+    the same compiled program minutes apart, intercepts healthy both
+    times).  Contention is strictly additive, so over ``samples`` valid
+    attempts the estimator is ``(min t2 - min t1) / (c2 - c1)`` with
+    each endpoint taking its own best case — the closest observable to
+    the uncontended hardware cost, and far more reproducible than any
+    single window.
     """
     run1, run2 = build(c1), build(c2)
 
@@ -77,28 +85,34 @@ def slope_timed(build, c1: int, c2: int, label: str, retries: int = 2,
         return best
 
     attempts = []
-    for attempt in range(retries + 1):
+    budget = retries + samples
+    for attempt in range(budget):
         t_1, t_2 = best_of(run1), best_of(run2)
         slope = max((t_2 - t_1) / (c2 - c1), 1e-9)
         intercept = t_1 - slope * c1
         valid = intercept <= _MAX_INTERCEPT_S and slope >= min_slope_s
         attempts.append((not valid, intercept, slope, t_1, t_2))
-        if valid:
+        if sum(1 for a in attempts if not a[0]) >= samples:
             break
-        if attempt < retries:
+        if not valid and attempt < budget - 1:
             log(f"{label}: window looks degraded (per-call constant "
                 f"{intercept:.2f} s, slope {slope*1e6:.2f} us vs floor "
                 f"{min_slope_s*1e6:.2f} us) — pausing {_RETRY_PAUSE_S:.0f} s "
-                f"and re-measuring (attempt {attempt + 1}/{retries + 1})")
+                f"and re-measuring (attempt {attempt + 1}/{budget})")
             time.sleep(_RETRY_PAUSE_S)
-    # valid attempts (flag False) sort first; among equals, min intercept
-    _invalid, intercept, slope, t_1, t_2 = min(attempts)
-    if len(attempts) > 1:
-        log(f"{label}: kept attempt with intercept {intercept:.2f} s, slope "
-            f"{slope*1e6:.2f} us of "
-            f"{[(round(a[1], 2), round(a[2]*1e6, 2)) for a in attempts]}")
-    if _invalid:
+    valid_list = [a for a in attempts if not a[0]]
+    if valid_list:
+        t_1 = min(a[3] for a in valid_list)
+        t_2 = min(a[4] for a in valid_list)
+        slope = max((t_2 - t_1) / (c2 - c1), min_slope_s, 1e-9)
+        intercept = t_1 - slope * c1
+    else:
+        _invalid, intercept, slope, t_1, t_2 = min(attempts)
         log(f"{label}: NO valid measurement window (all attempts degraded)")
+    if len(attempts) > 1:
+        log(f"{label}: kept slope {slope*1e6:.2f} us (intercept "
+            f"{intercept:.2f} s) from per-attempt "
+            f"{[(round(a[1], 2), round(a[2]*1e6, 2)) for a in attempts]}")
     return slope, (t_1, t_2)
 
 
@@ -307,7 +321,10 @@ def main() -> None:
             _ = float(v)
         return run
 
-    wall, (t_1, t_2) = slope_timed(build_stream_runner, c1, c2, "stream xRT")
+    # floor: a full 2048-block stream moves >150 MB through HBM — a slope
+    # under 0.2 ms/stream is physically impossible (link noise artifact)
+    wall, (t_1, t_2) = slope_timed(build_stream_runner, c1, c2, "stream xRT",
+                                   samples=3, min_slope_s=2e-4)
     audio = t_blocks * block / sr
     xrt = audio / wall
     log(f"stream: {wall*1e3:.3f} ms device time per {audio:.2f} s audio "
@@ -399,7 +416,8 @@ def main() -> None:
             return run
 
         pal_slope, _raw = slope_timed(
-            build_pallas_runner, n1, n2, "pallas latency", min_slope_s=2e-6
+            build_pallas_runner, n1, n2, "pallas latency", min_slope_s=2e-6,
+            samples=3,
         )
         p50_pallas = pal_slope * 1e3
         if p50_pallas < 0.002:  # below the physical floor: window failed

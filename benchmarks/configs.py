@@ -168,10 +168,14 @@ def config4_crossfade_morph():
     t = 256
     x = jnp.asarray(rng.standard_normal((t, block)).astype(np.float32))
     fused = _jit_fused_stream(cc.convolver_a.cfg, cc.cf_cfg)
+    # both engines' cached kernel meta-DFTs (input-independent per IR
+    # epoch) — production process() serves with them
+    kha = cc.convolver_a._get_khat(t)
+    khb = cc.convolver_b._get_khat(t)
 
-    def run(op, xs):
+    def run(op, xs, kh):
         sa, sb, cf = op
-        sa, sb, cf, y = fused(sa, sb, cf, xs)
+        sa, sb, cf, y = fused(sa, sb, cf, xs, kha=kh[0], khb=kh[1])
         return (sa, sb, cf), y
 
     # copy: _chain_time donates its state, and the live wrapper states are
@@ -181,7 +185,7 @@ def config4_crossfade_morph():
     state0 = jax.tree.map(
         jnp.copy, (cc.convolver_a.state, cc.convolver_b.state, cc.cf_state)
     )
-    wall = _chain_time(run, state0, x, chain=4)
+    wall = _chain_time(run, state0, x, chain=4, aux=(kha, khb))
     audio = t * block / SR
 
     # morph trigger latency: jitted update of the inactive engine

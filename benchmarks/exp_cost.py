@@ -55,18 +55,26 @@ def main():
 
     compiled = chained.lower(state, x, khat).compile()
     txt = compiled.as_text()
-    # ops annotated like ...{"flag_configs":[],...,"estimated_cycles":12345}
-    pat = re.compile(r'"estimated_cycles":(\d+)')
+    # ops annotated like ...,"estimated_cycles":"12345",... (value QUOTED)
+    pat = re.compile(r'"estimated_cycles":"?(\d+)"?')
     rows = []
     for line in txt.splitlines():
         m = pat.search(line)
         if not m:
             continue
         cyc = int(m.group(1))
-        head = line.strip().split(" = ")[0][-60:]
+        head = line.strip().split(" = ")[0][-40:]
         op = line.strip()
         kind = re.search(r"= \S+ (\w+)\(", op)
-        rows.append((cyc, head, kind.group(1) if kind else "?"))
+        name = re.search(r'op_name="([^"]+)"', op)
+        src = re.search(r'source_line=(\d+)', op)
+        sfile = re.search(r'source_file="[^"]*/(\w+\.py)"', op)
+        where = ""
+        if name:
+            where = name.group(1)[-70:]
+        if sfile and src:
+            where += f" [{sfile.group(1)}:{src.group(1)}]"
+        rows.append((cyc, head, (kind.group(1) if kind else "?") + "  " + where))
     rows.sort(reverse=True)
     total = sum(r[0] for r in rows)
     print(f"V={voices} dtype={np.dtype(dtype).name} "
@@ -76,7 +84,7 @@ def main():
     for cyc, head, kind in rows[:top]:
         cum += cyc
         print(f"{cyc:>12d} {100*cyc/total:5.1f}% cum {100*cum/total:5.1f}%  "
-              f"{kind:<10s} {head}", flush=True)
+              f"{head:<42s} {kind}", flush=True)
 
 
 if __name__ == "__main__":

@@ -142,22 +142,30 @@ class FFTConvolver:
         if n == 0:
             return np.zeros((0,), np.float32)
         if self._fill == 0 and n % b == 0:
-            t = n // b
-            kh = None
-            if b <= 2048 and t >= 8:  # the conv fast path's static gate
-                from .ops.fft import next_power_of_two
-
-                m = (next_power_of_two(self.cfg.seg_count - 1 + t)
-                     if self.cfg.seg_count > 1 else next_power_of_two(t))
-                kh = self._khat_cache.get(m)
-                if kh is None:
-                    kh = _jit_stream_khat(self.cfg)(self.state, t)
-                    self._khat_cache[m] = kh
             self.state, y = _jit_stream(self.cfg)(
-                self.state, jnp.reshape(x, (-1, b)), kern_hat=kh
+                self.state, jnp.reshape(x, (-1, b)),
+                kern_hat=self._get_khat(n // b),
             )
             return np.asarray(y).reshape(-1)
         return self._process_chunked(x)
+
+    def _get_khat(self, t: int):
+        """Cached input-independent stream-MAC kernel meta-spectra for a
+        ``t``-block stream (``models.uniform.stream_khat``), or ``None``
+        when the stream routes around the conv fast path.  Coherence:
+        ``update``/``restore`` clear the cache; clones get their own."""
+        b = self.cfg.block_size
+        if not (b <= 2048 and t >= 8):  # the conv fast path's static gate
+            return None
+        from .ops.fft import next_power_of_two
+
+        m = (next_power_of_two(self.cfg.seg_count - 1 + t)
+             if self.cfg.seg_count > 1 else next_power_of_two(t))
+        kh = self._khat_cache.get(m)
+        if kh is None:
+            kh = _jit_stream_khat(self.cfg)(self.state, t)
+            self._khat_cache[m] = kh
+        return kh
 
     def _process_chunked(self, x: np.ndarray) -> np.ndarray:
         b = self.cfg.block_size

@@ -37,13 +37,14 @@ def _jit_fused_stream(ucfg: uniform.UniformConfig,
     block mix runs on-device.
     """
     @jax.jit
-    def run(sa, sb, cf, blocks):
+    def run(sa, sb, cf, blocks, kha=None, khb=None):
         # the two streams run with the SAME shapes as standalone engines so
         # XLA lowers them identically — outputs stay within the reference's
         # 1e-6 engine-equivalence contract (a vmapped 2-voice formulation
-        # changes matmul shapes and drifts to ~1e-5)
-        sa2, ya = uniform.process_stream(ucfg, sa, blocks)
-        sb2, yb = uniform.process_stream(ucfg, sb, blocks)
+        # changes matmul shapes and drifts to ~1e-5).  kha/khb: each
+        # engine's cached kernel meta-DFT (api.FFTConvolver._get_khat).
+        sa2, ya = uniform.process_stream(ucfg, sa, blocks, kern_hat=kha)
+        sb2, yb = uniform.process_stream(ucfg, sb, blocks, kern_hat=khb)
         cf2, y = crossfade.mix_block(cf_cfg, cf, ya.reshape(-1), yb.reshape(-1))
         return sa2, sb2, cf2, y
 
@@ -140,9 +141,12 @@ class CrossfadeConvolver:
         if self._can_fuse(x.shape[0]):
             ucfg = self.convolver_a.cfg
             blocks = jnp.reshape(jnp.asarray(x), (-1, ucfg.block_size))
+            t = blocks.shape[0]
             sa, sb, self.cf_state, y = _jit_fused_stream(ucfg, self.cf_cfg)(
                 self.convolver_a.state, self.convolver_b.state,
                 self.cf_state, blocks,
+                kha=self.convolver_a._get_khat(t),
+                khb=self.convolver_b._get_khat(t),
             )
             self.convolver_a.state = sa
             self.convolver_b.state = sb

@@ -10,6 +10,7 @@ Public L0 surface (mirroring the reference's ``pub`` items):
 from .cpx import pmul, pmul_sum
 from .fft import (
     Fft,
+    causal_conv_khat,
     causal_conv_time,
     complex_size,
     copy_and_pad,
@@ -19,6 +20,7 @@ from .fft import (
 )
 
 __all__ = [
-    "Fft", "causal_conv_time", "complex_size", "copy_and_pad",
-    "irdft_block", "next_power_of_two", "rdft_block", "pmul", "pmul_sum",
+    "Fft", "causal_conv_khat", "causal_conv_time", "complex_size",
+    "copy_and_pad", "irdft_block", "next_power_of_two", "rdft_block",
+    "pmul", "pmul_sum",
 ]
