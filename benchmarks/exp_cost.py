@@ -41,8 +41,23 @@ def main():
     mac = "pallas" if jax.devices()[0].platform == "tpu" else "jnp"
     khat = None
     if "--no-khat" not in sys.argv:
-        khat = jax.jit(functools.partial(farm2.farm2_head_khat, cfg),
-                       static_argnums=(1,))(state, t)
+        kh_jit = jax.jit(functools.partial(farm2.farm2_head_khat, cfg),
+                         static_argnums=(1,))
+        if "--pin" in sys.argv:
+            # pin the producer's output to the default (row-major) layout:
+            # the consumer jit specializes on the arrival layout, and the
+            # mined kh[0]/kh[1] relayout copies suggest the producer emits
+            # a transposed layout the stream's reshape+einsum path can't
+            # consume directly
+            from jax.experimental.layout import Format, Layout
+            from jax.sharding import SingleDeviceSharding
+
+            fmt = Format(Layout((0, 1, 2, 3)),
+                         SingleDeviceSharding(jax.devices()[0]))
+            kh_jit = jax.jit(functools.partial(farm2.farm2_head_khat, cfg),
+                             static_argnums=(1,),
+                             out_shardings=(fmt, fmt))
+        khat = kh_jit(state, t)
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     def chained(st, xs, kh):

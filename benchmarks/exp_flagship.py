@@ -1,0 +1,94 @@
+"""Experiment: flagship aligned-stream A/B in ONE process / one relay
+window — the chip behind the relay is time-shared, so cross-run numbers
+move tens of percent and only same-window comparisons are trustworthy.
+
+Times the chained two-stage aligned stream (block=128, 10 s IR,
+T=2048 blocks) in three configurations back to back:
+  * khat-served, fused head+tail0 front end (production)
+  * khat-served, separate small streams (fuse_small=False)
+  * no khat, separate (the r2 baseline program)
+
+Usage: python -m benchmarks.exp_flagship [--cpu]
+"""
+
+from __future__ import annotations
+
+import functools
+import sys
+import time
+
+import numpy as np
+
+if "--cpu" in sys.argv:
+    import os
+
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+else:
+    import jax
+
+import jax.numpy as jnp
+
+SR = 48000
+
+
+def slope(run, state, x, aux, c1=2, c2=18, reps=3):
+    def build(length):
+        @jax.jit
+        def chained(st, xs, kh):
+            def body(s, _):
+                s2, y = run(s, xs, kh)
+                return s2, jnp.sum(y)
+
+            sf, sums = jax.lax.scan(body, st, None, length=length)
+            return sf, jnp.sum(sums)
+
+        return chained
+
+    r1, r2 = build(c1), build(c2)
+
+    def best(r):
+        _, v = r(state, x, aux)
+        _ = float(v)
+        b = float("inf")
+        for _i in range(reps):
+            t0 = time.perf_counter()
+            _, v = r(state, x, aux)
+            _ = float(v)
+            b = min(b, time.perf_counter() - t0)
+        return b
+
+    t1, t2 = best(r1), best(r2)
+    return max((t2 - t1) / (c2 - c1), 1e-9)
+
+
+def main():
+    from fft_convolution_tpu.models import two_stage
+
+    rng = np.random.default_rng(0)
+    ir = (rng.standard_normal(10 * SR) * 0.01).astype(np.float32)
+    cfg, state = two_stage.init(ir, 128, len(ir))
+    t = 2048
+    x = jnp.asarray(rng.standard_normal((t, 128)).astype(np.float32))
+    khats = jax.jit(functools.partial(two_stage.stream_khats, cfg),
+                    static_argnums=(1,))(state, t)
+
+    variants = [
+        ("khat+fused   ", lambda s, xs, kh: two_stage.process_stream_aligned(
+            cfg, s, xs, khats=kh), khats),
+        ("khat+separate", lambda s, xs, kh: two_stage.process_stream_aligned(
+            cfg, s, xs, khats=kh, fuse_small=False), khats),
+        ("plain        ", lambda s, xs, kh: two_stage.process_stream_aligned(
+            cfg, s, xs, fuse_small=False), None),
+    ]
+    audio = t * 128 / SR
+    for name, run, aux in variants:
+        w = slope(run, state, x, aux)
+        print(f"{name}: {w*1e3:8.3f} ms/stream  xRT {audio/w:8.0f}  "
+              f"{w/t*1e6:6.3f} us/blk", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -34,7 +34,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.fft import next_power_of_two
+from ..ops.cpx import pmul_sum
+from ..ops.fft import (causal_conv_time, irdft_block, next_power_of_two,
+                       rdft_block)
 from . import uniform
 
 # FFT cost constant k relative to a multiply-add, as suggested by García and
@@ -412,6 +414,78 @@ def process_stream(cfg: TwoStageConfig, state: TwoStageState,
     return jax.lax.scan(step, state, blocks)
 
 
+def _fused_small_streams(ucfg, st_h, st_t0, blocks, khats):
+    """Head and tail0 streams through ONE shared front end — the
+    single-voice analogue of the farm's fused heads
+    (:func:`parallel.farm2._heads_fused`).
+
+    With the same config, both stages' input rings are IDENTICAL by
+    construction (every block reaches both in lockstep through
+    ``process_block``/the aligned path, and ``update`` keeps history), so
+    one forward DFT, one ring-history window, one input-side meta-DFT,
+    and one ring rebuild serve both — only the kernel spectra (stacked on
+    a leading stage axis through :func:`ops.fft.causal_conv_time`),
+    accumulators, and OLA chains differ.  Removes a full forward-DFT
+    pass, an ehat meta-DFT, and a ring rebuild per call vs two separate
+    streams.
+
+    Precondition (caller guards with a ``lax.cond``): full clean rings —
+    ``active == seg_count`` and ``current < seg_count`` on both stages,
+    equal ``current``.  Outputs and state evolution match the separate
+    streams (the equivalence tests pin this); each stage's ring, pre,
+    and overlap leaves are reconstructed exactly.
+
+    Returns ``(st_h', st_t0', y_head [T, b], out0 [T, b])``.
+    """
+    b = ucfg.block_size
+    n = ucfg.seg_count
+    t = blocks.shape[0]
+    specs = rdft_block(blocks, ucfg.fft_size)                # [T, 2, B]
+    if n > 1:
+        seg2 = jnp.concatenate([st_h.segments, st_h.segments], axis=0)
+        window = jax.lax.dynamic_slice(
+            seg2, (st_h.current + 1, 0, 0), (n - 1, 2, b)
+        )
+        ext = jnp.concatenate([jnp.flip(window, axis=0), specs], axis=0)
+    else:
+        ext = specs
+
+    kern2 = jnp.stack([st_h.segments_ir, st_t0.segments_ir])  # [2, n, 2, B]
+    if khats is not None:
+        kh = (jnp.stack([khats[0][0], khats[1][0]]),
+              jnp.stack([khats[0][1], khats[1][1]]))
+    else:
+        kh = None
+    convs2 = causal_conv_time(ext, kern2, t, kern_hat=kh)     # [2, T, 2, B]
+    outs2 = irdft_block(convs2, ucfg.fft_size)                # [2, T, 2B]
+    tails_h = jnp.concatenate([st_h.overlap[None], outs2[0, :-1, b:]],
+                              axis=0)
+    y_h = outs2[0, :, :b] + tails_h
+    tails_0 = jnp.concatenate([st_t0.overlap[None], outs2[1, :-1, b:]],
+                              axis=0)
+    out0 = outs2[1, :, :b] + tails_0
+
+    # shared ring rebuild (full-ring roll fast path, the guarded case)
+    current_f = jnp.mod(st_h.current - t, n).astype(jnp.int32)
+    byd = jnp.flip(jax.lax.slice_in_dim(ext, t - 1, t - 1 + n, axis=0),
+                   axis=0)
+    segments = jnp.roll(byd, current_f + 1, axis=0)
+    i = jnp.arange(n, dtype=jnp.int32)
+    pre_h = pmul_sum(st_h.segments_ir, byd, i >= 1)
+    pre_0 = pmul_sum(st_t0.segments_ir, byd, i >= 1)
+    st_h2 = st_h._replace(
+        segments=segments, current=current_f,
+        pre_multiplied=pre_h, overlap=outs2[0, -1, b:],
+    )
+    # distinct ring buffer for tail0: two pytree leaves must never share
+    # one array (donation rejects a buffer donated twice — see init)
+    st_t02 = st_t0._replace(
+        segments=jnp.copy(segments), current=current_f,
+        pre_multiplied=pre_0, overlap=outs2[1, -1, b:],
+    )
+    return st_h2, st_t02, y_h, out0
+
+
 def stream_khats(cfg: TwoStageConfig, state: TwoStageState, t: int):
     """Precompute the head and tail0 stages' kernel meta-spectra
     (:func:`models.uniform.stream_khat`) for ``T = t``-block aligned
@@ -432,7 +506,9 @@ def process_stream_aligned(cfg: TwoStageConfig, state: TwoStageState,
                            blocks: jnp.ndarray,
                            small_stream=None,
                            big_stream=None,
-                           khats=None) -> Tuple[TwoStageState, jnp.ndarray]:
+                           khats=None,
+                           fuse_small: bool = True,
+                           ) -> Tuple[TwoStageState, jnp.ndarray]:
     """Period-aligned batched streaming — the TPU-native throughput path.
 
     Requires ``state.tail_fill == 0`` and ``T % period == 0`` (the host
@@ -466,7 +542,8 @@ def process_stream_aligned(cfg: TwoStageConfig, state: TwoStageState,
     # execute-both-branches selects.  khats (:func:`stream_khats`) only
     # apply to the DEFAULT small stream — custom cores manage their own.
     kh_head, kh_t0 = khats if khats is not None else (None, None)
-    if small_stream is None:
+    default_small = small_stream is None
+    if default_small:
         def small_stream(ucfg, ust, blk, _kh=None):
             return uniform.process_stream(ucfg, ust, blk, kern_hat=_kh)
     else:
@@ -477,19 +554,54 @@ def process_stream_aligned(cfg: TwoStageConfig, state: TwoStageState,
             return _user_small(ucfg, ust, blk)
     big_stream = big_stream or uniform.process_stream
 
-    head_state, y = small_stream(cfg.head, state.head, blocks, kh_head)
+    # fused head+tail0 front end: with identical stage configs the two
+    # rings are equal by construction, so one forward DFT / meta-DFT /
+    # ring rebuild serves both (_fused_small_streams) — guarded by the
+    # full-clean-ring scalars, falling back to the two separate streams
+    # for shrunk/ragged engines
+    fuse = (fuse_small and default_small and cfg.tail0 is not None
+            and cfg.head == cfg.tail0)
+    if fuse:
+        n_h = cfg.head.seg_count
+        clean = ((state.head.active_segs == n_h)
+                 & (state.tail0.active_segs == n_h)
+                 & (state.head.current < n_h)
+                 & (state.head.current == state.tail0.current))
 
-    if cfg.tail0 is not None:
-        tail0_state, out0 = small_stream(cfg.tail0, state.tail0, blocks,
-                                         kh_t0)
+        def _separate():
+            hs, yh = small_stream(cfg.head, state.head, blocks, kh_head)
+            t0s, o0 = small_stream(cfg.tail0, state.tail0, blocks, kh_t0)
+            return hs, t0s, yh, o0
+
+        head_state, tail0_state, y, out0 = jax.lax.cond(
+            clean,
+            lambda: _fused_small_streams(
+                cfg.head, state.head, state.tail0, blocks, khats
+            ),
+            _separate,
+        )
         per0 = out0.reshape(q, tb)
-        contrib0 = jnp.concatenate([state.tail_precalc0[None], per0[:-1]], axis=0)
+        contrib0 = jnp.concatenate([state.tail_precalc0[None], per0[:-1]],
+                                   axis=0)
         y = y + contrib0.reshape(t, b)
         new_precalc0 = per0[-1]
         new_output0 = per0[-2] if q >= 2 else state.tail_precalc0
     else:
-        tail0_state = state.tail0
-        new_precalc0, new_output0 = state.tail_precalc0, state.tail_output0
+        head_state, y = small_stream(cfg.head, state.head, blocks, kh_head)
+
+        if cfg.tail0 is not None:
+            tail0_state, out0 = small_stream(cfg.tail0, state.tail0, blocks,
+                                             kh_t0)
+            per0 = out0.reshape(q, tb)
+            contrib0 = jnp.concatenate(
+                [state.tail_precalc0[None], per0[:-1]], axis=0
+            )
+            y = y + contrib0.reshape(t, b)
+            new_precalc0 = per0[-1]
+            new_output0 = per0[-2] if q >= 2 else state.tail_precalc0
+        else:
+            tail0_state = state.tail0
+            new_precalc0, new_output0 = state.tail_precalc0, state.tail_output0
 
     if cfg.tail is not None:
         big = blocks.reshape(q, tb)

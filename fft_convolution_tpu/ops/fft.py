@@ -129,12 +129,6 @@ def _twiddles(n: int, sign: float) -> tuple[np.ndarray, np.ndarray]:
 # transforms
 # ---------------------------------------------------------------------------
 
-def _rdft_direct(x: jnp.ndarray, n: int, precision=jax.lax.Precision.HIGHEST) -> jnp.ndarray:
-    basis = jnp.asarray(_rdft_basis(n))
-    packed = jnp.matmul(x, basis, preferred_element_type=jnp.float32, precision=precision)
-    return packed.reshape(x.shape[:-1] + (2, n // 2))
-
-
 def _irdft_direct(p: jnp.ndarray, n: int, precision=jax.lax.Precision.HIGHEST) -> jnp.ndarray:
     basis = jnp.asarray(_irdft_basis(n))
     flat = p.reshape(p.shape[:-2] + (n,))
@@ -142,16 +136,26 @@ def _irdft_direct(p: jnp.ndarray, n: int, precision=jax.lax.Precision.HIGHEST) -
 
 
 def _dft4_real(x: jnp.ndarray, n: int, precision=jax.lax.Precision.HIGHEST) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Bailey 4-step forward DFT of real input over the last axis.
+    """Bailey 4-step forward DFT of real input over the last axis; ``x``
+    may be SHORTER than ``n`` — the implicit zero tail is folded by
+    row-slicing the stage-1 DFT matrix instead of padding the input
+    (the standard overlap-add callers transform length-``n/2`` blocks,
+    so this both removes a whole-input pad pass and HALVES the stage-1
+    matmul).
 
     Returns full-spectrum (re, im), each [..., n].  Stage 1 exploits the
     real input (2 matmuls instead of 4); everything lands on the MXU.
     """
     n1, n2 = _split_factors(n)
     batch = x.shape[:-1]
-    a = x.reshape(batch + (n2, n1))                       # A[i2, i1]
-    c2, s2 = (jnp.asarray(m) for m in _dft_mats(n2, -1.0))
-    # stage 1: DFT_n2 along i2 -> G[k2, i1]
+    length = x.shape[-1]
+    rows = -(-length // n1)
+    if rows * n1 != length:
+        x = copy_and_pad(x, rows * n1)
+    a = x.reshape(batch + (rows, n1))                     # A[i2, i1]
+    c2, s2 = (jnp.asarray(np.ascontiguousarray(m[:, :rows]))
+              for m in _dft_mats(n2, -1.0))
+    # stage 1: DFT_n2 along (the live rows of) i2 -> G[k2, i1]
     g_re = jnp.einsum("ki,...ij->...kj", c2, a, preferred_element_type=jnp.float32, precision=precision)
     g_im = jnp.einsum("ki,...ij->...kj", s2, a, preferred_element_type=jnp.float32, precision=precision)
     # stage 2: twiddle w^(i1*k2)
@@ -181,11 +185,15 @@ def _rdft_4step(x: jnp.ndarray, n: int, precision=jax.lax.Precision.HIGHEST) -> 
 
 
 def _cidft4_real(re: jnp.ndarray, im: jnp.ndarray, m: int,
-                 precision=jax.lax.Precision.HIGHEST) -> jnp.ndarray:
+                 precision=jax.lax.Precision.HIGHEST,
+                 scale: float = 1.0) -> jnp.ndarray:
     """Real part of the +sign (inverse-direction, unnormalized) complex
     4-step DFT along the LAST axis: ``out[t] = Re sum_k (re+i im)[k]
     e^{+2i pi k t / m}``.  Final stage computes only the real part
-    (2 matmuls)."""
+    (2 matmuls).  ``scale`` folds a normalization into the final-stage
+    matrices (host-side), so callers avoid a full-array scaling pass —
+    the ``out / n`` division was a measured ~2% whole-array copy in the
+    farm's compiled stream (benchmarks/exp_cost)."""
     batch = re.shape[:-1]
     n1, n2 = _split_factors(m)
     a_re = re.reshape(batch + (n2, n1))
@@ -202,7 +210,8 @@ def _cidft4_real(re: jnp.ndarray, im: jnp.ndarray, m: int,
     t_re, t_im = (jnp.asarray(x) for x in _twiddles(m, 1.0))
     h_re = g_re * t_re - g_im * t_im
     h_im = g_re * t_im + g_im * t_re
-    c1, s1 = (jnp.asarray(x) for x in _dft_mats(n1, 1.0))
+    c1, s1 = (jnp.asarray(np.float32(scale) * x)
+              for x in _dft_mats(n1, 1.0))
     y_re = jnp.matmul(h_re, c1, preferred_element_type=jnp.float32,
                       precision=precision) - jnp.matmul(
         h_im, s1, preferred_element_type=jnp.float32, precision=precision
@@ -242,19 +251,23 @@ def _irdft_4step(p: jnp.ndarray, n: int, precision=jax.lax.Precision.HIGHEST) ->
     g1_re = g_re * wr - g_im * wi
     g1_im = g_re * wi + g_im * wr
 
-    even = _cidft4_real(g_re, g_im, b, precision) * 2.0 + nyq
-    odd = _cidft4_real(g1_re, g1_im, b, precision) * 2.0 - nyq
-    out = jnp.stack([even, odd], axis=-1).reshape(p_re.shape[:-1] + (n,))
-    return out / n
+    # the 2/n and 1/n normalizations fold into the inverse matrices and
+    # the (lane-1) Nyquist term — no whole-array scaling pass
+    nyq_n = nyq * np.float32(1.0 / n)
+    even = _cidft4_real(g_re, g_im, b, precision, scale=2.0 / n) + nyq_n
+    odd = _cidft4_real(g1_re, g1_im, b, precision, scale=2.0 / n) - nyq_n
+    return jnp.stack([even, odd], axis=-1).reshape(p_re.shape[:-1] + (n,))
 
 
 def _cdft4_axis2(re: jnp.ndarray, im: jnp.ndarray, m: int, sign: float,
                  precision=jax.lax.Precision.HIGHEST,
+                 scale: float = 1.0,
                  ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Complex 4-step DFT of length ``m`` (power of two) along axis -2 of
     ``[..., m, L]`` arrays — every stage an MXU matmul over the time axis,
-    lanes untouched.  Unnormalized; ``sign=-1`` forward, ``+1`` inverse
-    (caller scales by 1/m)."""
+    lanes untouched.  Unnormalized; ``sign=-1`` forward, ``+1`` inverse.
+    ``scale`` folds a normalization (e.g. the inverse's 1/m) into the
+    final-stage matrices — saves a whole-array pass per call."""
     n1, n2 = _split_factors(m)
     batch = re.shape[:-2]
     lanes = re.shape[-1]
@@ -272,7 +285,8 @@ def _cdft4_axis2(re: jnp.ndarray, im: jnp.ndarray, m: int, sign: float,
     t_re, t_im = (jnp.asarray(x)[..., None] for x in _twiddles(m, sign))
     h_re = g_re * t_re - g_im * t_im
     h_im = g_re * t_im + g_im * t_re
-    c1m, s1m = (jnp.asarray(x) for x in _dft_mats(n1, sign))
+    c1m, s1m = (jnp.asarray(np.float32(scale) * x)
+                for x in _dft_mats(n1, sign))
 
     def mm1(mat, arr):  # contract the n1 axis: [..., k2, i1, L] x [i1, k1]
         return jnp.einsum("...kjl,jm->...kml", arr, mat,
@@ -348,10 +362,12 @@ def causal_conv_time(ext: jnp.ndarray, kern: jnp.ndarray, t_out: int,
                 f"but this stream call needs m={m}"
             )
 
-    # main product: IDFT gives (rr - ii) + i (ri + ir) per lane
+    # main product: IDFT gives (rr - ii) + i (ri + ir) per lane; the 1/m
+    # normalization rides inside the inverse's final matmul stage
     z_re = ehat_re * khat_re - ehat_im * khat_im
     z_im = ehat_re * khat_im + ehat_im * khat_re
-    out_re, out_im = _cdft4_axis2(z_re, z_im, m, 1.0, precision)
+    out_re, out_im = _cdft4_axis2(z_re, z_im, m, 1.0, precision,
+                                  scale=1.0 / m)
 
     # lane-0 correction: conv with conj(kern) gives (rr + ii) + i (ir - ri);
     # DFT(conj(k))[f] = conj(K[-f mod M]) — no extra forward DFT needed
@@ -360,19 +376,24 @@ def causal_conv_time(ext: jnp.ndarray, kern: jnp.ndarray, t_out: int,
     e0_re, e0_im = ehat_re[..., :1], ehat_im[..., :1]
     zc_re = e0_re * kc_re - e0_im * kc_im
     zc_im = e0_re * kc_im + e0_im * kc_re
-    outc_re, _outc_im = _cdft4_axis2(zc_re, zc_im, m, 1.0, precision)
+    outc_re, _outc_im = _cdft4_axis2(zc_re, zc_im, m, 1.0, precision,
+                                     scale=1.0 / m)
 
     sl = [slice(None)] * out_re.ndim
     sl[-2] = slice(n - 1, n - 1 + t_out)
     sl = tuple(sl)
-    main_re = out_re[sl] / m          # rr - ii  (lanes >= 1: final re)
-    main_im = out_im[sl] / m          # ri + ir  (lanes >= 1: final im)
-    conj_re = outc_re[sl] / m         # rr + ii  (lane 0 only)
+    main_re = out_re[sl]              # rr - ii  (lanes >= 1: final re)
+    main_im = out_im[sl]              # ri + ir  (lanes >= 1: final im)
+    conj_re = outc_re[sl]             # rr + ii  (lane 0 only)
 
+    # lane-0 merge as a masked select, NOT a lane-axis concatenate — a
+    # 1-lane concat shifts every other lane (a full relayout on TPU,
+    # measured as slice+copy fusions in the farm's compiled stream)
     rr0 = (main_re[..., :1] + conj_re) * 0.5
     ii0 = (conj_re - main_re[..., :1]) * 0.5
-    re = jnp.concatenate([rr0, main_re[..., 1:]], axis=-1)
-    im = jnp.concatenate([ii0, main_im[..., 1:]], axis=-1)
+    m0 = jnp.zeros((b,), jnp.float32).at[0].set(1.0)
+    re = main_re * (1.0 - m0) + rr0 * m0
+    im = main_im * (1.0 - m0) + ii0 * m0
     return jnp.stack([re, im], axis=-2)  # [..., T, 2, B]
 
 
@@ -385,11 +406,25 @@ def rdft_block(x: jnp.ndarray, fft_size: int,
     leading axes batch (and batch straight onto the MXU).  ``precision``
     defaults to the parity-exact HIGHEST; throughput paths (the reverb
     farm) may pass HIGH (bf16x3 passes, ~f32 quality at half the MXU
-    cost) — never change the default, the 1e-6 parity tests depend on it."""
+    cost) — never change the default, the 1e-6 parity tests depend on it.
+
+    The zero pad is FOLDED into the transform instead of materialized:
+    padded rows contribute nothing, so the basis (direct) / stage-1
+    matrix (4-step) is row-sliced to the live input length — removes a
+    whole-input pad pass per call, and halves the first matmul for the
+    standard half-length overlap-add blocks."""
     x = jnp.asarray(x, jnp.float32)
-    x = copy_and_pad(x, fft_size)
+    if x.shape[-1] > fft_size:
+        raise ValueError(
+            f"input length {x.shape[-1]} exceeds fft_size {fft_size}"
+        )
     if fft_size <= _DIRECT_MAX:
-        return _rdft_direct(x, fft_size, precision)
+        basis = jnp.asarray(
+            np.ascontiguousarray(_rdft_basis(fft_size)[: x.shape[-1]])
+        )
+        packed = jnp.matmul(x, basis, preferred_element_type=jnp.float32,
+                            precision=precision)
+        return packed.reshape(x.shape[:-1] + (2, fft_size // 2))
     return _rdft_4step(x, fft_size, precision)
 
 

@@ -228,7 +228,10 @@ def test_stream_khat_exact_and_coherent():
     runa = jax.jit(functools.partial(two_stage.process_stream_aligned, tcfg))
     _, ya = runa(tstate, jnp.asarray(xs))
     _, yb = runa(tstate, jnp.asarray(xs), khats=khs)
-    np.testing.assert_array_equal(np.asarray(ya), np.asarray(yb))
+    # f32-roundoff only: the fused front end computes the inline khat on
+    # the STACKED stage kernels (one batched meta-DFT) while stream_khats
+    # computes per-stage then stacks — same math, different matmul batch
+    np.testing.assert_allclose(np.asarray(ya), np.asarray(yb), atol=2e-6)
 
     # wrapper cache coherence across update()
     c = FFTConvolver(ir, b, len(ir))
