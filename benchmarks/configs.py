@@ -224,11 +224,12 @@ def farm2_bytes_per_voice(block: int, ir_len: int, t_blocks: int,
         ir_tab = (n_segs + extra_ir_rows) * 2 * b * item
         return ring + ir_tab + 4 * b * 4   # + overlap/input/pre buffers
 
-    sub = 16 if tail_item == 2 else 8
+    # both storage widths are 32-bit (packed bf16 carries re/im halves in
+    # one u32 word, ops/packing.py): sublane padding is 8 segments, and
+    # tail_item=2 models the packed table's per-plane-equivalent bytes
+    sub = 8
     n_h = -(-min(ir_len, tb) // block)
     n_t0 = -(-min(max(ir_len - tb, 0), tb) // block)
-    # big tail padded to a multiple of 8 (f32) / 16 (bf16) segments
-    # (farm2_init, Pallas MAC sublane alignment)
     n_t = -(- -(-max(ir_len - 2 * tb, 0) // tb) // sub) * sub
     state = (
         stage(n_h, block) + stage(n_t0, block)
@@ -237,6 +238,9 @@ def farm2_bytes_per_voice(block: int, ir_len: int, t_blocks: int,
         + 5 * tb * 4
     )
     m = next_power_of_two(max(n_h, n_t0) - 1 + t_blocks)
+    # the khat-served stream keeps the head-kernel meta-spectra resident:
+    # 2 stages x [m, B] x (re, im) f32 per voice (farm2_head_khat)
+    state += 2 * m * block * 4 * 2
     transients = 6 * m * 2 * block * 4 * 2      # both head-block stages
     transients += 1 * n_t * 2 * tb * 4          # tail corr-core temp
     return int((state + transients) * 1.08)

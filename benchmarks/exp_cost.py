@@ -72,6 +72,13 @@ def main():
     txt = compiled.as_text()
     # ops annotated like ...,"estimated_cycles":"12345",... (value QUOTED)
     pat = re.compile(r'"estimated_cycles":"?(\d+)"?')
+    if "--dump-kh" in sys.argv:
+        # full HLO lines touching the khat params — shows the layout the
+        # consumer relayouts them into (the kh[0]/kh[1] copies)
+        for line in txt.splitlines():
+            if "kh[" in line or re.search(r"%copy[.\d]* = ", line):
+                print(line.strip()[:400], flush=True)
+
     rows = []
     for line in txt.splitlines():
         m = pat.search(line)
