@@ -237,11 +237,12 @@ def farm2_bytes_per_voice(block: int, ir_len: int, t_blocks: int,
                 item=tail_item)
         + 5 * tb * 4
     )
-    m = next_power_of_two(max(n_h, n_t0) - 1 + t_blocks)
+    m = next_power_of_two(2 * max(n_h, n_t0) - 1 + t_blocks)
     # the khat-served stream keeps the head-kernel meta-spectra resident:
-    # 2 stages x [m, B] x (re, im) f32 per voice (farm2_head_khat)
-    state += 2 * m * block * 4 * 2
-    transients = 6 * m * 2 * block * 4 * 2      # both head-block stages
+    # ONE combined 2n-segment kernel x [m, B] x (re, im) f32 per voice
+    # (farm2_head_khat of _combined_head_kernel)
+    state += m * block * 4 * 2
+    transients = 6 * m * 2 * block * 4          # one combined head pipeline
     transients += 1 * n_t * 2 * tb * 4          # tail corr-core temp
     return int((state + transients) * 1.08)
 

@@ -160,7 +160,7 @@ class ReverbFarm:
                 "into consecutive process() calls"
             )
         if self.cfg.tail is not None:
-            m = next_power_of_two(self.cfg.head.seg_count - 1 + t)
+            m = next_power_of_two(2 * self.cfg.head.seg_count - 1 + t)
             khat = self._khat_cache.get(m)
             if khat is None:
                 khat = self._khat_fn(self.state, t)

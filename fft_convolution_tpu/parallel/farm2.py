@@ -12,7 +12,9 @@ Stage layout is chosen per axis order the hardware wants:
   (:func:`_heads_fused`): with the big tail present both stages see the
   same input at the same block size and segment count, so they share a
   single ring history and a single forward/inverse time-DFT pipeline —
-  only the kernel spectra differ (stacked on a leading stage axis).
+  and since the period equals the head segment count, tail0's one-period
+  output delay folds into a COMBINED 2n-segment kernel
+  (:func:`_combined_head_kernel`): one meta-product, one inverse.
   The tail0 state's ring leaf is DEAD inside farm2 (head's ring is the
   shared source of truth — see :func:`_heads_fused`).
 * **big tail** (few steps, huge rows): a planes-outer FUSED-voice
@@ -361,10 +363,18 @@ def farm2_update(cfg: two_stage.TwoStageConfig, state: two_stage.TwoStageState,
     def zeros_t():
         return jnp.zeros_like(state.tail_input)
 
+    # precalc_pos == 1 flags the next farm2_stream call to run the stacked
+    # two-kernel head path once with zero pending tail0 spectra (stage-wise
+    # update semantics — see _heads_legacy); only meaningful for the
+    # big-tail farm (the short-IR farm streams per voice, where
+    # precalc_pos is the real period counter and must stay 0)
+    pos = (jnp.ones_like(state.precalc_pos) if cfg.tail is not None
+           else state.precalc_pos)
     return state._replace(
         head=head, tail0=tail0, tail=tail,
         tail_output0=zeros_t(), tail_precalc0=zeros_t(),
         tail_output=zeros_t(), tail_precalc=zeros_t(),
+        precalc_pos=pos,
     )
 
 
@@ -553,53 +563,155 @@ def _tail_corr_phased_fused(cfg: uniform.UniformConfig,
     ), y
 
 
+def _combined_head_kernel(st_h: uniform.UniformState,
+                          st_t0: uniform.UniformState) -> jnp.ndarray:
+    """The COMBINED head+tail0 kernel table ``[V, 2n, 2, B]``.
+
+    With the big tail present, head and tail0 run at the same block size
+    over the same input with ``head_len == t0_len == tail_block``, so the
+    period is exactly ``n = seg_count`` head blocks — and tail0's
+    one-PERIOD output delay equals a kernel shift of ``n`` segments in the
+    frequency-delay line: segment ``n + j`` of the concatenated table is
+    the spectrum of ``ir[tail_block + j*b ..]`` applied to the input from
+    ``n + j`` blocks ago, which is precisely ``delay_1_period(tail0(x))``.
+    One 2n-segment FDL therefore produces ``head + delayed tail0`` in ONE
+    meta-product + ONE inverse meta-DFT (vs two of each for the stacked
+    per-stage tables), at the cost of ``n`` extra rows of input-spectra
+    history (carried in the otherwise-dead period buffers)."""
+    return jnp.concatenate([st_h.segments_ir, st_t0.segments_ir], axis=1)
+
+
 def farm2_head_khat(cfg: two_stage.TwoStageConfig,
                     state: two_stage.TwoStageState, t: int,
                     dft_precision: str = "highest",
                     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Precompute the fused head+tail0 kernel meta-spectra
-    (:func:`ops.fft.causal_conv_khat` of the stacked stage tables) for
-    ``T = t``-block stream calls.  Input-independent between IR updates —
-    one third of the head MAC's matmul work hoisted out of every call.
-    Jittable; pass the result to :func:`farm2_stream` as ``head_khat=``
-    (valid for any ``T`` with the same ``next_power_of_two(n - 1 + T)``).
-    """
+    """Precompute the combined head+tail0 kernel meta-spectra
+    (:func:`ops.fft.causal_conv_khat` of :func:`_combined_head_kernel`)
+    for ``T = t``-block stream calls.  Input-independent between IR
+    updates — one third of the head MAC's matmul work hoisted out of
+    every call.  Jittable; pass the result to :func:`farm2_stream` as
+    ``head_khat=`` (valid for any ``T`` with the same
+    ``next_power_of_two(2 * n - 1 + T)``)."""
     n = cfg.head.seg_count
-    m = next_power_of_two(n - 1 + t)
-    kern2 = jnp.stack([state.head.segments_ir, state.tail0.segments_ir])
-    return causal_conv_khat(kern2, m, _PRECISIONS[dft_precision])
+    m = next_power_of_two(2 * n - 1 + t)
+    kern = _combined_head_kernel(state.head, state.tail0)
+    return causal_conv_khat(kern, m, _PRECISIONS[dft_precision])
+
+
+def _heads_state_out(st_h: uniform.UniformState, st_t0: uniform.UniformState,
+                     ext: jnp.ndarray, outs: jnp.ndarray, t: int, n: int,
+                     hist0: int):
+    """Shared ring-rebuild/exit-state tail of the two head-path variants
+    (full-ring roll fast path, lockstep scalars) — mirrors
+    ``models.uniform._stream_conv.rebuild_roll``, batched over voices.
+    ``hist0``: number of history rows preceding the new blocks in ``ext``
+    (``ext[hist0 + j]`` is new block ``j``).  Farm invariant PRODUCED: only
+    the head state's ring and OVERLAP are maintained — ``st_t0``'s
+    ``segments``/``current``/``overlap`` leaves are retained untouched
+    (DEAD within farm2; writing an identical second ring would either
+    duplicate the roll or alias two output buffers, which donation
+    rejects)."""
+    v = ext.shape[0]
+    b = st_h.overlap.shape[-1]
+    current = st_h.current[0]
+    current_f = jnp.mod(current - t, n).astype(jnp.int32)
+    byd = jnp.flip(
+        jax.lax.slice_in_dim(ext, hist0 + t - n, hist0 + t, axis=1), axis=1
+    )                                               # blocks t-1..t-n
+    segments = jnp.roll(byd, current_f + 1, axis=1)
+    i = jnp.arange(n, dtype=jnp.int32)
+    pre_h = pmul_sum(st_h.segments_ir, byd, i >= 1)           # [V, 2, B]
+    pre_t0 = pmul_sum(st_t0.segments_ir, byd, i >= 1)
+
+    currents = jnp.broadcast_to(current_f, (v,))
+    st_h2 = st_h._replace(
+        segments=segments, current=currents,
+        pre_multiplied=pre_h, overlap=outs[:, -1, b:],
+    )
+    st_t02 = st_t0._replace(current=currents, pre_multiplied=pre_t0)
+    # next call's old-half history: blocks t-2n+1 .. t-n-1 oldest-first =
+    # ext rows [hist0 + t - 2n + 1, hist0 + t - n); always in range since
+    # t >= p == n and hist0 >= n - 1
+    new_hist = jax.lax.slice_in_dim(
+        ext, hist0 + t - 2 * n + 1, hist0 + t - n, axis=1
+    )                                               # [V, n-1, 2, B]
+    return st_h2, st_t02, new_hist
 
 
 def _heads_fused(cfg: two_stage.TwoStageConfig,
                  st_h: uniform.UniformState, st_t0: uniform.UniformState,
-                 vx: jnp.ndarray, spec0_prev: jnp.ndarray,
+                 vx: jnp.ndarray, hist_prev: jnp.ndarray,
                  precision=jax.lax.Precision.HIGHEST, khat=None):
-    """Fused head+tail0 farm stream: with the big tail present both stages
-    convolve the SAME input at the same block size and segment count
-    (``head_len == t0_len == tail_block``), so one ring history and ONE
-    forward/inverse time-DFT pipeline serve both — only the kernel spectra
-    (stacked on a leading stage axis, broadcast through
-    :func:`ops.fft.causal_conv_time`), accumulators, and OLA tails differ.
-    Halves the head-side DFT work of two separate streams.
+    """Fused head+tail0 farm stream over the COMBINED 2n-segment kernel
+    (:func:`_combined_head_kernel`): one ring history, one forward/inverse
+    time-DFT pipeline, ONE meta-product and ONE inverse meta-DFT produce
+    ``head + delay_1_period(tail0)`` directly — the tail0 delay lives in
+    the kernel's segment offset, not in a carried conv-spectra buffer.
+    Relative to the stacked two-kernel formulation this removes a full
+    meta-product, an inverse meta-DFT, the lane-0 correction's second
+    pass, and the delayed-spectra concat, and halves khat residency; the
+    meta size grows from ``npo2(n-1+T)`` to ``npo2(2n-1+T)``, equal for
+    ``T >= 2n`` up to rounding (the production ``T = 2 periods`` call).
 
-    The tail0 stage's one-PERIOD output delay is applied at the SPECTRA
-    level before the inverse transform: with ``p = period`` head blocks
-    per period, ``y[t] = irdft(conv_h[t] + conv_0[t - p])`` and ONE
-    overlap-add chain (on the head's ``overlap``) serves the sum — OLA is
-    linear, so summing pre-OLA block spectra is exact.  This halves the
-    inverse-DFT and OLA traffic relative to two separate streams; the
-    first ``p`` delayed spectra of each call come from ``spec0_prev``
-    (the previous call's last ``p`` tail0 conv spectra).
+    ``hist_prev``: ``[V, n-1, 2, B]`` input spectra of blocks
+    ``-(2n-1)..-(n+1)`` oldest-first (the old half of the 2n-1-row input
+    window the 2n-segment FDL needs; the ring provides blocks ``-n..-1``).
+    OLA is linear, so one overlap-add chain (the head's ``overlap``)
+    serves the sum — exactly as the pre-inverse spectra-level sum did.
 
-    Farm invariant consumed: full clean lockstep rings.  Farm invariants
-    PRODUCED: only the head state's ring and OVERLAP are maintained —
-    ``st_t0``'s ``segments``/``current``/``overlap`` leaves are retained
-    untouched (DEAD within farm2; writing an identical second ring would
-    either duplicate the roll or alias two output buffers, which donation
-    rejects).
+    Farm invariant consumed: full clean lockstep rings.
 
-    Returns ``(st_h', st_t0', y_combined [V,T,B], spec0_last [V,p,2,B])``.
+    Returns ``(st_h', st_t0', y_combined [V,T,B], new_hist [V,n-1,2,B])``.
     """
+    ucfg = cfg.head
+    n = ucfg.seg_count
+    b = ucfg.block_size
+    p = cfg.period
+    assert cfg.tail0 is not None and cfg.tail0.seg_count == n and p == n
+    v, t = vx.shape[0], vx.shape[1]
+    assert t % p == 0 and t >= p
+    current = st_h.current[0]
+
+    specs = rdft_block(vx, ucfg.fft_size, precision)         # [V, T, 2, B]
+    seg2 = jnp.concatenate([st_h.segments, st_h.segments], axis=1)
+    ring = jnp.flip(jax.lax.dynamic_slice(
+        seg2, (0, current + 1, 0, 0), (v, n, 2, b)
+    ), axis=1)                                    # blocks -n..-1 oldest-first
+    parts = ([hist_prev] if n > 1 else []) + [ring, specs]
+    ext = jnp.concatenate(parts, axis=1)          # [V, 2n-1+T, 2, B]
+
+    kern = _combined_head_kernel(st_h, st_t0)     # [V, 2n, 2, B]
+    conv = causal_conv_time(ext, kern, t, precision,
+                            kern_hat=khat)        # [V, T, 2, B]
+    outs = irdft_block(conv, ucfg.fft_size, precision)        # [V, T, 2B]
+    tails = jnp.concatenate(
+        [st_h.overlap[:, None], outs[:, :-1, b:]], axis=1
+    )
+    y = outs[:, :, :b] + tails
+
+    st_h2, st_t02, new_hist = _heads_state_out(
+        st_h, st_t0, ext, outs, t, n, 2 * n - 1
+    )
+    return st_h2, st_t02, y, new_hist
+
+
+def _heads_legacy(cfg: two_stage.TwoStageConfig,
+                  st_h: uniform.UniformState, st_t0: uniform.UniformState,
+                  vx: jnp.ndarray,
+                  precision=jax.lax.Precision.HIGHEST):
+    """The stacked two-kernel head path with ZERO pending tail0 spectra —
+    the one-call-after-:func:`farm2_update` schedule.  Stage-wise update
+    semantics (``models.two_stage.update``) zero the precalculated tail0
+    double-buffer, so the first period after an update gets NO tail0
+    contribution; the combined kernel cannot express that (its delayed
+    terms come from the kept input history), so the flagged call runs the
+    stacked formulation once — per-stage kernel spectra on a leading
+    stage axis, tail0's conv spectra delayed one period pre-inverse with
+    zeros in the first period — and hands back the combined path's
+    history carry.  Cost: the stacked khat is computed inline (one
+    post-update call pays ~1/3 extra head MAC matmul work).
+
+    Returns ``(st_h', st_t0', y [V,T,B], new_hist [V,n-1,2,B])``."""
     ucfg = cfg.head
     n = ucfg.seg_count
     b = ucfg.block_size
@@ -620,10 +732,9 @@ def _heads_fused(cfg: two_stage.TwoStageConfig,
         ext = specs
 
     kern2 = jnp.stack([st_h.segments_ir, st_t0.segments_ir])  # [2, V, n, 2, B]
-    convs2 = causal_conv_time(ext, kern2, t, precision,
-                              kern_hat=khat)                  # [2, V, T, 2, B]
+    convs2 = causal_conv_time(ext, kern2, t, precision)       # [2, V, T, 2, B]
     conv0_del = jnp.concatenate(
-        [spec0_prev, convs2[1, :, : t - p]], axis=1
+        [jnp.zeros((v, p, 2, b), jnp.float32), convs2[1, :, : t - p]], axis=1
     )                                                         # [V, T, 2, B]
     s = convs2[0] + conv0_del
     outs = irdft_block(s, ucfg.fft_size, precision)           # [V, T, 2B]
@@ -631,26 +742,11 @@ def _heads_fused(cfg: two_stage.TwoStageConfig,
         [st_h.overlap[:, None], outs[:, :-1, b:]], axis=1
     )
     y = outs[:, :, :b] + tails
-    spec0_last = convs2[1, :, t - p:]                         # [V, p, 2, B]
 
-    # shared ring rebuild (full-ring roll fast path, lockstep scalars) —
-    # mirrors models.uniform._stream_conv.rebuild_roll, batched over voices
-    current_f = jnp.mod(current - t, n).astype(jnp.int32)
-    byd = jnp.flip(
-        jax.lax.slice_in_dim(ext, t - 1, t - 1 + n, axis=1), axis=1
+    st_h2, st_t02, new_hist = _heads_state_out(
+        st_h, st_t0, ext, outs, t, n, n - 1
     )
-    segments = jnp.roll(byd, current_f + 1, axis=1)
-    i = jnp.arange(n, dtype=jnp.int32)
-    pre_h = pmul_sum(st_h.segments_ir, byd, i >= 1)           # [V, 2, B]
-    pre_t0 = pmul_sum(st_t0.segments_ir, byd, i >= 1)
-
-    currents = jnp.broadcast_to(current_f, (v,))
-    st_h2 = st_h._replace(
-        segments=segments, current=currents,
-        pre_multiplied=pre_h, overlap=outs[:, -1, b:],
-    )
-    st_t02 = st_t0._replace(current=currents, pre_multiplied=pre_t0)
-    return st_h2, st_t02, y, spec0_last
+    return st_h2, st_t02, y, new_hist
 
 
 _PRECISIONS = {
@@ -672,9 +768,10 @@ def farm2_stream(cfg: two_stage.TwoStageConfig, state: two_stage.TwoStageState,
     The three stages of the aligned decomposition
     (:func:`models.two_stage.process_stream_aligned`:
     ``y = head(x) + delay_1(tail0(x)) + delay_2(tail(x))``) run with the
-    voice axis placed per stage — head+tail0 fused voice-leading with the
-    tail0 delay applied pre-inverse (:func:`_heads_fused`), the big tail
-    batched fused-voice — see the module docstring for why.
+    voice axis placed per stage — head+tail0 fused voice-leading through
+    the COMBINED 2n-segment kernel (:func:`_heads_fused`; the tail0 delay
+    lives in the kernel's segment offset), the big tail batched
+    fused-voice — see the module docstring for why.
 
     ``head_khat``: optional precomputed :func:`farm2_head_khat` for this
     call's ``T`` — hoists the input-independent kernel meta-DFT out of the
@@ -701,22 +798,32 @@ def farm2_stream(cfg: two_stage.TwoStageConfig, state: two_stage.TwoStageState,
 
     prec = _PRECISIONS[dft_precision]
 
-    # head + tail0 share one ring, one time-DFT pipeline, and (via the
-    # spectra-level delay fold) ONE inverse transform + OLA chain.
-    # farm2-internal convention: the previous call's last `p` tail0 conv
-    # spectra live in the two period buffers as separate planes —
-    # tail_precalc0 = re [V, p*B], tail_output0 = im [V, p*B].
-    spec0_prev = jnp.stack(
-        [state.tail_precalc0.reshape(v, p, b),
-         state.tail_output0.reshape(v, p, b)],
+    # head + tail0 share one ring, one time-DFT pipeline, ONE combined
+    # 2n-segment kernel (tail0's period delay lives in the kernel offset),
+    # one inverse transform and one OLA chain.  farm2-internal convention:
+    # the old half of the input-spectra window (blocks -(2n-1)..-(n+1)
+    # oldest-first) lives in the two period buffers as separate planes —
+    # tail_precalc0 = re [V, p*B], tail_output0 = im [V, p*B] (row n-1
+    # zero); and precalc_pos == 1 (lockstep) flags the call right after
+    # farm2_update, which must run the stacked two-kernel path once with
+    # zero pending tail0 spectra (stage-wise update semantics zero the
+    # tail0 double-buffer — see _heads_legacy).
+    n = cfg.head.seg_count
+    hist_prev = jnp.stack(
+        [state.tail_precalc0.reshape(v, p, b)[:, : n - 1],
+         state.tail_output0.reshape(v, p, b)[:, : n - 1]],
         axis=2,
-    )                                                   # [V, p, 2, B]
-    head_state, tail0_state, y, spec0_last = _heads_fused(
-        cfg, state.head, state.tail0, vx, spec0_prev, precision=prec,
-        khat=head_khat,
+    )                                                   # [V, n-1, 2, B]
+    head_state, tail0_state, y, new_hist = jax.lax.cond(
+        state.precalc_pos[0] == 1,
+        lambda op: _heads_legacy(cfg, op[0], op[1], vx, precision=prec),
+        lambda op: _heads_fused(cfg, op[0], op[1], vx, op[2],
+                                precision=prec, khat=head_khat),
+        (state.head, state.tail0, hist_prev),
     )                                                   # y [V, T, B]
-    new_precalc0 = spec0_last[:, :, 0].reshape(v, tb)
-    new_output0 = spec0_last[:, :, 1].reshape(v, tb)
+    pad_row = ((0, 0), (0, p - (n - 1)), (0, 0))
+    new_precalc0 = jnp.pad(new_hist[:, :, 0], pad_row).reshape(v, tb)
+    new_output0 = jnp.pad(new_hist[:, :, 1], pad_row).reshape(v, tb)
 
     # big tail: two-period delay, fused-voice phased correlation core
     # (tail_mac="pallas" for the single-pass TPU MAC kernel)
