@@ -454,5 +454,42 @@ def main() -> None:
     print(json.dumps(out))
 
 
+def _wait_for_backend(max_wait_s: float = 1800.0) -> bool:
+    """The TPU relay goes transiently UNAVAILABLE (observed: PJRT client
+    creation failing outright for tens of minutes).  A failed init is
+    cached for the process lifetime, so probe device availability in
+    FRESH subprocesses and only enter main() once one succeeds."""
+    import subprocess
+    deadline = time.monotonic() + max_wait_s
+    attempt = 0
+    while True:
+        attempt += 1
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                capture_output=True, text=True, timeout=900,
+            )
+            ok, detail = r.returncode == 0, (r.stderr or "").strip()
+        except subprocess.TimeoutExpired:
+            ok, detail = False, "probe timed out after 900s"
+        if ok:
+            if attempt > 1:
+                log(f"backend came back on probe {attempt}")
+            return True
+        tail = detail.splitlines()[-1][:140] if detail else "no stderr"
+        log(f"backend probe {attempt} failed: {tail}")
+        if time.monotonic() >= deadline:
+            return False
+        time.sleep(60.0)
+
+
 if __name__ == "__main__":
-    main()
+    if not _wait_for_backend():
+        fail("TPU backend unavailable after 30 min of probes")
+    else:
+        try:
+            main()
+        except Exception as e:  # noqa: BLE001 - the driver needs a JSON line
+            import traceback
+            traceback.print_exc(file=sys.stderr)
+            fail(f"{type(e).__name__}: {e}")
