@@ -110,6 +110,7 @@ def main():
     @jax.jit
     def run_combined_once(st_h, st_t0, kh):
         st_h2, st_t02, y, _ = farm2._heads_fused(cfg, st_h, st_t0, vx, hist0,
+                                                 suppress_first=False,
                                                  khat=kh)
         return y
 
@@ -128,7 +129,8 @@ def main():
     def combined(st, xs, kh):
         st_h, st_t0 = st
         st_h2, st_t02, y, hist = farm2._heads_fused(
-            cfg, st_h, st_t0, jnp.swapaxes(xs, 0, 1), hist0, khat=kh
+            cfg, st_h, st_t0, jnp.swapaxes(xs, 0, 1), hist0,
+            suppress_first=False, khat=kh
         )
         return (st_h2, st_t02), y
 

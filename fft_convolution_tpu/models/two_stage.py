@@ -35,8 +35,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.cpx import pmul_sum
-from ..ops.fft import (causal_conv_time, irdft_block, next_power_of_two,
-                       rdft_block)
+from ..ops.fft import (causal_conv_khat, causal_conv_time, irdft_block,
+                       next_power_of_two, rdft_block)
 from . import uniform
 
 # FFT cost constant k relative to a multiply-add, as suggested by García and
@@ -414,92 +414,158 @@ def process_stream(cfg: TwoStageConfig, state: TwoStageState,
     return jax.lax.scan(step, state, blocks)
 
 
-def _fused_small_streams(ucfg, st_h, st_t0, blocks, khats):
-    """Head and tail0 streams through ONE shared front end — the
-    single-voice analogue of the farm's fused heads
-    (:func:`parallel.farm2._heads_fused`).
+def _fused_small_streams(cfg, st_h, st_t0, blocks, precalc0, khats):
+    """Head and tail0 streams through ONE shared front end AND one
+    COMBINED 2n-segment kernel — the single-voice analogue of the farm's
+    fused heads (:func:`parallel.farm2._heads_fused`).
 
     With the same config, both stages' input rings are IDENTICAL by
-    construction (every block reaches both in lockstep through
-    ``process_block``/the aligned path, and ``update`` keeps history), so
-    one forward DFT, one ring-history window, one input-side meta-DFT,
-    and one ring rebuild serve both — only the kernel spectra (stacked on
-    a leading stage axis through :func:`ops.fft.causal_conv_time`),
-    accumulators, and OLA chains differ.  Removes a full forward-DFT
-    pass, an ehat meta-DFT, and a ring rebuild per call vs two separate
-    streams.
+    construction, so one forward DFT and one ring rebuild serve both; and
+    since the period equals the head segment count, tail0's one-period
+    output delay is a kernel shift of ``n`` segments — so ONE meta-product
+    + ONE inverse meta-DFT + ONE inverse block-DFT + ONE overlap-add over
+    ``concat(head_table, tail0_table)`` produce
+    ``head(x) + delay_1_period(tail0(x))`` directly (was two of each).
+
+    Window bookkeeping (all exact, not approximations):
+
+    * the ring provides the full ``n``-row history window; delayed-kernel
+      lags beyond it read the meta-DFT's zero pad (``m`` is sized so the
+      circular wrap lands in padding);
+    * the sequential schedule's contract says the FIRST period's tail0
+      contribution comes from ``tail_precalc0`` (last call's output), so
+      the in-window delayed terms the combined kernel produces for
+      ``t < p`` are subtracted back out with a tiny triangular pass
+      (meta size ``2n`` vs the main ``npo2(T + 2n - 1)``), and the OLA
+      seam at row ``p`` adds tail0's carried overlap;
+    * the exit state (tail0's overlap, ``tail_precalc0``/``tail_output0``
+      = tail0's last two OLA'd periods, and the head overlap without the
+      delayed part) is reconstructed exactly from a SMALL side pass over
+      the last ``2p + 1`` blocks (meta size ``npo2(3n)``).
 
     Precondition (caller guards with a ``lax.cond``): full clean rings —
     ``active == seg_count`` and ``current < seg_count`` on both stages,
     equal ``current``.  Outputs and state evolution match the separate
-    streams (the equivalence tests pin this); each stage's ring, pre,
-    and overlap leaves are reconstructed exactly.
+    streams (the equivalence tests pin this).
 
-    Returns ``(st_h', st_t0', y_head [T, b], out0 [T, b])``.
+    Returns ``(st_h', st_t0', y_with_tail0 [T, b], new_precalc0 [tb],
+    new_output0 [tb])``.
     """
+    ucfg = cfg.head
     b = ucfg.block_size
     n = ucfg.seg_count
+    p = cfg.period
+    assert p == n, "fused small streams require period == head seg_count"
     t = blocks.shape[0]
+    q = t // p
+    kh_comb, kh_small, kh_rec = (
+        (khats.get("comb"), khats.get("small"), khats.get("rec"))
+        if khats is not None else (None, None, None)
+    )
     specs = rdft_block(blocks, ucfg.fft_size)                # [T, 2, B]
-    if n > 1:
-        seg2 = jnp.concatenate([st_h.segments, st_h.segments], axis=0)
-        window = jax.lax.dynamic_slice(
-            seg2, (st_h.current + 1, 0, 0), (n - 1, 2, b)
-        )
-        ext = jnp.concatenate([jnp.flip(window, axis=0), specs], axis=0)
-    else:
-        ext = specs
+    seg2 = jnp.concatenate([st_h.segments, st_h.segments], axis=0)
+    window = jnp.flip(jax.lax.dynamic_slice(
+        seg2, (st_h.current + 1, 0, 0), (n, 2, b)
+    ), axis=0)                                   # blocks -n..-1 oldest-first
+    ext = jnp.concatenate([window, specs], axis=0)           # [n+T, 2, B]
 
-    kern2 = jnp.stack([st_h.segments_ir, st_t0.segments_ir])  # [2, n, 2, B]
-    if khats is not None:
-        kh = (jnp.stack([khats[0][0], khats[1][0]]),
-              jnp.stack([khats[0][1], khats[1][1]]))
-    else:
-        kh = None
-    convs2 = causal_conv_time(ext, kern2, t, kern_hat=kh)     # [2, T, 2, B]
-    outs2 = irdft_block(convs2, ucfg.fft_size)                # [2, T, 2B]
-    tails_h = jnp.concatenate([st_h.overlap[None], outs2[0, :-1, b:]],
-                              axis=0)
-    y_h = outs2[0, :, :b] + tails_h
-    tails_0 = jnp.concatenate([st_t0.overlap[None], outs2[1, :-1, b:]],
-                              axis=0)
-    out0 = outs2[1, :, :b] + tails_0
+    kern = jnp.concatenate([st_h.segments_ir, st_t0.segments_ir], axis=0)
+    m_comb = next_power_of_two(t + 2 * n - 1)
+    conv = causal_conv_time(ext, kern, t, kern_hat=kh_comb,
+                            m=m_comb, row0=n)                # [T, 2, B]
+
+    # subtract the in-window delayed terms for the first period (their
+    # contribution is carried in tail_precalc0 by contract): a triangular
+    # linear convolution of the tail0 table with the history window
+    ext_w = jnp.concatenate(
+        [jnp.zeros((n - 1, 2, b), jnp.float32), window], axis=0
+    )                                                        # [2n-1, 2, B]
+    w = causal_conv_time(ext_w, st_t0.segments_ir, p, kern_hat=kh_small,
+                         m=2 * n)                            # [p, 2, B]
+    conv = jnp.concatenate([conv[:p] - w, conv[p:]], axis=0)
+
+    outs = irdft_block(conv, ucfg.fft_size)                  # [T, 2B]
+    tails = jnp.concatenate([st_h.overlap[None], outs[:-1, b:]], axis=0)
+    y = outs[:, :b] + tails
+    # the first period's tail0 contribution is the carried time-domain
+    # tail_precalc0 (the contract the sequential schedule keeps)
+    y = jnp.concatenate([y[:p] + precalc0.reshape(p, b), y[p:]], axis=0)
+    if t > p:
+        # OLA seam: row p's tail is row p-1's second half, which is
+        # head-only after the subtract — the delayed part's seam tail is
+        # tail0's carried overlap (= its last raw block's second half)
+        y = y.at[p].add(st_t0.overlap)
+
+    # exact exit-state reconstruction: tail0's raw rows for the last
+    # min(q, 2) periods (+1 row for the OLA chain head)
+    nrec = min(q, 2) * p + 1
+    ext_rec = jax.lax.slice_in_dim(ext, t - nrec + 1, t + n, axis=0)
+    m_rec = next_power_of_two(n - 1 + nrec)
+    conv0 = causal_conv_time(ext_rec, st_t0.segments_ir, nrec,
+                             kern_hat=kh_rec, m=m_rec)
+    raw0 = irdft_block(conv0, ucfg.fft_size)                 # [nrec, 2B]
+    out0_rows = raw0[1:, :b] + raw0[:-1, b:]      # blocks [t - nrec + 1, t)
+    new_precalc0 = out0_rows[-p:].reshape(p * b)
+    new_output0 = (out0_rows[:p].reshape(p * b) if q >= 2 else precalc0)
 
     # shared ring rebuild (full-ring roll fast path, the guarded case)
     current_f = jnp.mod(st_h.current - t, n).astype(jnp.int32)
-    byd = jnp.flip(jax.lax.slice_in_dim(ext, t - 1, t - 1 + n, axis=0),
-                   axis=0)
+    byd = jnp.flip(jax.lax.slice_in_dim(ext, t, t + n, axis=0), axis=0)
     segments = jnp.roll(byd, current_f + 1, axis=0)
     i = jnp.arange(n, dtype=jnp.int32)
     pre_h = pmul_sum(st_h.segments_ir, byd, i >= 1)
     pre_0 = pmul_sum(st_t0.segments_ir, byd, i >= 1)
+    # the head's own OLA tail, without the delayed part riding in the
+    # combined rows (raw0[-(p+1)] is tail0's raw block t-1-p); for t == p
+    # the last row sits in the W-subtracted first period and is already
+    # head-only
+    head_overlap = (outs[-1, b:] - raw0[-(p + 1), b:] if t > p
+                    else outs[-1, b:])
     st_h2 = st_h._replace(
         segments=segments, current=current_f,
-        pre_multiplied=pre_h, overlap=outs2[0, -1, b:],
+        pre_multiplied=pre_h,
+        overlap=head_overlap,
     )
     # distinct ring buffer for tail0: two pytree leaves must never share
     # one array (donation rejects a buffer donated twice — see init)
     st_t02 = st_t0._replace(
         segments=jnp.copy(segments), current=current_f,
-        pre_multiplied=pre_0, overlap=outs2[1, -1, b:],
+        pre_multiplied=pre_0, overlap=raw0[-1, b:],
     )
-    return st_h2, st_t02, y_h, out0
+    return st_h2, st_t02, y, new_precalc0, new_output0
 
 
 def stream_khats(cfg: TwoStageConfig, state: TwoStageState, t: int):
-    """Precompute the head and tail0 stages' kernel meta-spectra
-    (:func:`models.uniform.stream_khat`) for ``T = t``-block aligned
+    """Precompute the kernel meta-spectra for ``T = t``-block aligned
     stream calls — input-independent between IR updates, one third of
     each stage's meta-DFT matmul work hoisted out of every call.
 
-    The main tail streams at a huge block size, which routes through the
-    hoisted-DFT ring scan (no meta-DFT), so only two khats exist.
-    Jittable; pass to :func:`process_stream_aligned` as ``khats=``.
+    Returns a dict: ``head``/``t0`` are the per-stage khats
+    (:func:`models.uniform.stream_khat`) for the separate-stream paths;
+    when the stage configs fuse, ``comb``/``small``/``rec`` are the
+    combined 2n-segment kernel's khat and the two small side-pass khats
+    :func:`_fused_small_streams` uses.  The main tail streams at a huge
+    block size, which routes through the hoisted-DFT ring scan (no
+    meta-DFT), so no khat exists for it.  Jittable; pass to
+    :func:`process_stream_aligned` as ``khats=``.
     """
-    kh_head = uniform.stream_khat(cfg.head, state.head, t)
-    kh_t0 = (uniform.stream_khat(cfg.tail0, state.tail0, t)
-             if cfg.tail0 is not None else None)
-    return kh_head, kh_t0
+    out = {
+        "head": uniform.stream_khat(cfg.head, state.head, t),
+        "t0": (uniform.stream_khat(cfg.tail0, state.tail0, t)
+               if cfg.tail0 is not None else None),
+    }
+    if cfg.tail0 is not None and cfg.head == cfg.tail0:
+        n = cfg.head.seg_count
+        q = t // cfg.period
+        kern = jnp.concatenate(
+            [state.head.segments_ir, state.tail0.segments_ir], axis=0
+        )
+        out["comb"] = causal_conv_khat(kern, next_power_of_two(t + 2 * n - 1))
+        out["small"] = causal_conv_khat(state.tail0.segments_ir, 2 * n)
+        nrec = min(q, 2) * cfg.period + 1
+        out["rec"] = causal_conv_khat(state.tail0.segments_ir,
+                                      next_power_of_two(n - 1 + nrec))
+    return out
 
 
 def process_stream_aligned(cfg: TwoStageConfig, state: TwoStageState,
@@ -541,7 +607,8 @@ def process_stream_aligned(cfg: TwoStageConfig, state: TwoStageState,
     # cores so voice-batching does not turn the safety conds into
     # execute-both-branches selects.  khats (:func:`stream_khats`) only
     # apply to the DEFAULT small stream — custom cores manage their own.
-    kh_head, kh_t0 = khats if khats is not None else (None, None)
+    kh_head, kh_t0 = ((khats.get("head"), khats.get("t0"))
+                      if khats is not None else (None, None))
     default_small = small_stream is None
     if default_small:
         def small_stream(ucfg, ust, blk, _kh=None):
@@ -555,10 +622,10 @@ def process_stream_aligned(cfg: TwoStageConfig, state: TwoStageState,
     big_stream = big_stream or uniform.process_stream
 
     # fused head+tail0 front end: with identical stage configs the two
-    # rings are equal by construction, so one forward DFT / meta-DFT /
-    # ring rebuild serves both (_fused_small_streams) — guarded by the
-    # full-clean-ring scalars, falling back to the two separate streams
-    # for shrunk/ragged engines
+    # rings are equal by construction, so one forward DFT / ring rebuild
+    # and ONE combined 2n-segment kernel serve both (_fused_small_streams)
+    # — guarded by the full-clean-ring scalars, falling back to the two
+    # separate streams for shrunk/ragged engines
     fuse = (fuse_small and default_small and cfg.tail0 is not None
             and cfg.head == cfg.tail0)
     if fuse:
@@ -571,21 +638,23 @@ def process_stream_aligned(cfg: TwoStageConfig, state: TwoStageState,
         def _separate():
             hs, yh = small_stream(cfg.head, state.head, blocks, kh_head)
             t0s, o0 = small_stream(cfg.tail0, state.tail0, blocks, kh_t0)
-            return hs, t0s, yh, o0
+            per0 = o0.reshape(q, tb)
+            contrib0 = jnp.concatenate(
+                [state.tail_precalc0[None], per0[:-1]], axis=0
+            )
+            yf = yh + contrib0.reshape(t, b)
+            np0 = per0[-1]
+            no0 = per0[-2] if q >= 2 else state.tail_precalc0
+            return hs, t0s, yf, np0, no0
 
-        head_state, tail0_state, y, out0 = jax.lax.cond(
+        head_state, tail0_state, y, new_precalc0, new_output0 = jax.lax.cond(
             clean,
             lambda: _fused_small_streams(
-                cfg.head, state.head, state.tail0, blocks, khats
+                cfg, state.head, state.tail0, blocks,
+                state.tail_precalc0, khats
             ),
             _separate,
         )
-        per0 = out0.reshape(q, tb)
-        contrib0 = jnp.concatenate([state.tail_precalc0[None], per0[:-1]],
-                                   axis=0)
-        y = y + contrib0.reshape(t, b)
-        new_precalc0 = per0[-1]
-        new_output0 = per0[-2] if q >= 2 else state.tail_precalc0
     else:
         head_state, y = small_stream(cfg.head, state.head, blocks, kh_head)
 

@@ -325,6 +325,8 @@ def causal_conv_khat(kern: jnp.ndarray, m: int,
 def causal_conv_time(ext: jnp.ndarray, kern: jnp.ndarray, t_out: int,
                      precision=jax.lax.Precision.HIGHEST,
                      kern_hat: tuple[jnp.ndarray, jnp.ndarray] | None = None,
+                     m: int | None = None,
+                     row0: int | None = None,
                      ) -> jnp.ndarray:
     """``out[t] = sum_i kern[i] (*) ext[N-1+t-i]`` — the frequency-delay-line
     MAC over a whole stream, computed by a SECOND DFT along the block axis
@@ -342,11 +344,26 @@ def causal_conv_time(ext: jnp.ndarray, kern: jnp.ndarray, t_out: int,
     ``kern_hat``: optional precomputed :func:`causal_conv_khat` of ``kern``
     at this call's ``m`` — skips the kernel-side meta-DFT (the table is
     input-independent; hot streaming paths precompute it at IR-set time).
+
+    ``m``: optional meta-DFT size override (must be a power of two
+    ``>= len(ext)``).  A caller slicing output rows where the circular
+    indices wrap must size ``m`` so wrapped reads land in the zero pad
+    (``m >= lt + max_wrap``) — used by the combined head+tail0 kernel,
+    whose first rows deliberately read zeros for out-of-window history.
+
+    ``row0``: optional output-row offset override (default ``N - 1``, the
+    full-history position).  ``row0 = h`` with ``h`` history rows in
+    ``ext`` yields ``out[t] = sum_i kern[i] (*) spec[t - i]`` where
+    ``ext[h + t]`` is new block ``t`` — rows whose lag exceeds the
+    available history read the zero pad (see ``m``).
     """
     lt = ext.shape[-3]
     n = kern.shape[-3]
     b = ext.shape[-1]
-    m = next_power_of_two(lt)
+    if m is None:
+        m = next_power_of_two(lt)
+    elif m < lt or m & (m - 1):
+        raise ValueError(f"m={m} must be a power of two >= len(ext)={lt}")
 
     e_re = _pad_rows(ext[..., 0, :], m)
     e_im = _pad_rows(ext[..., 1, :], m)
@@ -380,7 +397,8 @@ def causal_conv_time(ext: jnp.ndarray, kern: jnp.ndarray, t_out: int,
                                      scale=1.0 / m)
 
     sl = [slice(None)] * out_re.ndim
-    sl[-2] = slice(n - 1, n - 1 + t_out)
+    r0 = n - 1 if row0 is None else row0
+    sl[-2] = slice(r0, r0 + t_out)
     sl = tuple(sl)
     main_re = out_re[sl]              # rr - ii  (lanes >= 1: final re)
     main_im = out_im[sl]              # ri + ir  (lanes >= 1: final im)

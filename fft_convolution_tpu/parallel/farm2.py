@@ -363,9 +363,9 @@ def farm2_update(cfg: two_stage.TwoStageConfig, state: two_stage.TwoStageState,
     def zeros_t():
         return jnp.zeros_like(state.tail_input)
 
-    # precalc_pos == 1 flags the next farm2_stream call to run the stacked
-    # two-kernel head path once with zero pending tail0 spectra (stage-wise
-    # update semantics — see _heads_legacy); only meaningful for the
+    # precalc_pos == 1 flags the next farm2_stream call to suppress the
+    # first period's tail0 contribution (stage-wise update semantics —
+    # see _heads_fused's suppress_first); only meaningful for the
     # big-tail farm (the short-IR farm streams per voice, where
     # precalc_pos is the real period counter and must stay 0)
     pos = (jnp.ones_like(state.precalc_pos) if cfg.tail is not None
@@ -641,6 +641,7 @@ def _heads_state_out(st_h: uniform.UniformState, st_t0: uniform.UniformState,
 def _heads_fused(cfg: two_stage.TwoStageConfig,
                  st_h: uniform.UniformState, st_t0: uniform.UniformState,
                  vx: jnp.ndarray, hist_prev: jnp.ndarray,
+                 suppress_first,
                  precision=jax.lax.Precision.HIGHEST, khat=None):
     """Fused head+tail0 farm stream over the COMBINED 2n-segment kernel
     (:func:`_combined_head_kernel`): one ring history, one forward/inverse
@@ -658,6 +659,14 @@ def _heads_fused(cfg: two_stage.TwoStageConfig,
     window the 2n-segment FDL needs; the ring provides blocks ``-n..-1``).
     OLA is linear, so one overlap-add chain (the head's ``overlap``)
     serves the sum — exactly as the pre-inverse spectra-level sum did.
+
+    ``suppress_first``: lockstep scalar bool — the call right after
+    :func:`farm2_update`.  Stage-wise update semantics zero the pending
+    tail0 double-buffer, so the first period must get NO tail0
+    contribution; the update zeroed ``hist_prev``'s storage (killing the
+    old-half terms), and a small triangular pass over the ring window
+    (meta size ``2n`` vs the main ``npo2(2n-1+T)``) subtracts the
+    ring-sourced remainder under a ``lax.cond``.
 
     Farm invariant consumed: full clean lockstep rings.
 
@@ -683,6 +692,19 @@ def _heads_fused(cfg: two_stage.TwoStageConfig,
     kern = _combined_head_kernel(st_h, st_t0)     # [V, 2n, 2, B]
     conv = causal_conv_time(ext, kern, t, precision,
                             kern_hat=khat)        # [V, T, 2, B]
+
+    def _suppress(c):
+        # triangular linear conv of the tail0 table with the ring window:
+        # the first period's ring-sourced delayed terms (old-half terms
+        # are already zero — farm2_update zeroed the carry storage)
+        ext_w = jnp.concatenate(
+            [jnp.zeros((v, n - 1, 2, b), jnp.float32), ring], axis=1
+        )                                         # [V, 2n-1, 2, B]
+        w = causal_conv_time(ext_w, st_t0.segments_ir, p, precision,
+                             m=2 * n)             # [V, p, 2, B]
+        return jnp.concatenate([c[:, :p] - w, c[:, p:]], axis=1)
+
+    conv = jax.lax.cond(suppress_first, _suppress, lambda c: c, conv)
     outs = irdft_block(conv, ucfg.fft_size, precision)        # [V, T, 2B]
     tails = jnp.concatenate(
         [st_h.overlap[:, None], outs[:, :-1, b:]], axis=1
@@ -691,60 +713,6 @@ def _heads_fused(cfg: two_stage.TwoStageConfig,
 
     st_h2, st_t02, new_hist = _heads_state_out(
         st_h, st_t0, ext, outs, t, n, 2 * n - 1
-    )
-    return st_h2, st_t02, y, new_hist
-
-
-def _heads_legacy(cfg: two_stage.TwoStageConfig,
-                  st_h: uniform.UniformState, st_t0: uniform.UniformState,
-                  vx: jnp.ndarray,
-                  precision=jax.lax.Precision.HIGHEST):
-    """The stacked two-kernel head path with ZERO pending tail0 spectra —
-    the one-call-after-:func:`farm2_update` schedule.  Stage-wise update
-    semantics (``models.two_stage.update``) zero the precalculated tail0
-    double-buffer, so the first period after an update gets NO tail0
-    contribution; the combined kernel cannot express that (its delayed
-    terms come from the kept input history), so the flagged call runs the
-    stacked formulation once — per-stage kernel spectra on a leading
-    stage axis, tail0's conv spectra delayed one period pre-inverse with
-    zeros in the first period — and hands back the combined path's
-    history carry.  Cost: the stacked khat is computed inline (one
-    post-update call pays ~1/3 extra head MAC matmul work).
-
-    Returns ``(st_h', st_t0', y [V,T,B], new_hist [V,n-1,2,B])``."""
-    ucfg = cfg.head
-    n = ucfg.seg_count
-    b = ucfg.block_size
-    p = cfg.period
-    assert cfg.tail0 is not None and cfg.tail0.seg_count == n
-    v, t = vx.shape[0], vx.shape[1]
-    assert t % p == 0 and t >= p
-    current = st_h.current[0]
-
-    specs = rdft_block(vx, ucfg.fft_size, precision)         # [V, T, 2, B]
-    if n > 1:
-        seg2 = jnp.concatenate([st_h.segments, st_h.segments], axis=1)
-        window = jax.lax.dynamic_slice(
-            seg2, (0, current + 1, 0, 0), (v, n - 1, 2, b)
-        )
-        ext = jnp.concatenate([jnp.flip(window, axis=1), specs], axis=1)
-    else:
-        ext = specs
-
-    kern2 = jnp.stack([st_h.segments_ir, st_t0.segments_ir])  # [2, V, n, 2, B]
-    convs2 = causal_conv_time(ext, kern2, t, precision)       # [2, V, T, 2, B]
-    conv0_del = jnp.concatenate(
-        [jnp.zeros((v, p, 2, b), jnp.float32), convs2[1, :, : t - p]], axis=1
-    )                                                         # [V, T, 2, B]
-    s = convs2[0] + conv0_del
-    outs = irdft_block(s, ucfg.fft_size, precision)           # [V, T, 2B]
-    tails = jnp.concatenate(
-        [st_h.overlap[:, None], outs[:, :-1, b:]], axis=1
-    )
-    y = outs[:, :, :b] + tails
-
-    st_h2, st_t02, new_hist = _heads_state_out(
-        st_h, st_t0, ext, outs, t, n, n - 1
     )
     return st_h2, st_t02, y, new_hist
 
@@ -805,21 +773,19 @@ def farm2_stream(cfg: two_stage.TwoStageConfig, state: two_stage.TwoStageState,
     # oldest-first) lives in the two period buffers as separate planes —
     # tail_precalc0 = re [V, p*B], tail_output0 = im [V, p*B] (row n-1
     # zero); and precalc_pos == 1 (lockstep) flags the call right after
-    # farm2_update, which must run the stacked two-kernel path once with
-    # zero pending tail0 spectra (stage-wise update semantics zero the
-    # tail0 double-buffer — see _heads_legacy).
+    # farm2_update, which must suppress the first period's tail0
+    # contribution (stage-wise update semantics zero the tail0
+    # double-buffer — see _heads_fused's suppress_first).
     n = cfg.head.seg_count
     hist_prev = jnp.stack(
         [state.tail_precalc0.reshape(v, p, b)[:, : n - 1],
          state.tail_output0.reshape(v, p, b)[:, : n - 1]],
         axis=2,
     )                                                   # [V, n-1, 2, B]
-    head_state, tail0_state, y, new_hist = jax.lax.cond(
-        state.precalc_pos[0] == 1,
-        lambda op: _heads_legacy(cfg, op[0], op[1], vx, precision=prec),
-        lambda op: _heads_fused(cfg, op[0], op[1], vx, op[2],
-                                precision=prec, khat=head_khat),
-        (state.head, state.tail0, hist_prev),
+    head_state, tail0_state, y, new_hist = _heads_fused(
+        cfg, state.head, state.tail0, vx, hist_prev,
+        suppress_first=state.precalc_pos[0] == 1,
+        precision=prec, khat=head_khat,
     )                                                   # y [V, T, B]
     pad_row = ((0, 0), (0, p - (n - 1)), (0, 0))
     new_precalc0 = jnp.pad(new_hist[:, :, 0], pad_row).reshape(v, tb)

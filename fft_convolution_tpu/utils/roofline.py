@@ -99,12 +99,39 @@ def stream_scan_sliced_cost(cfg: uniform.UniformConfig, t: int) -> Cost:
     return c
 
 
+def fused_heads_cost(cfg: two_stage.TwoStageConfig, t: int) -> Cost:
+    """two_stage._fused_small_streams: ONE combined 2n-segment stream
+    produces head + delayed tail0 (one meta-product, one inverse), plus
+    the two small side passes (first-period subtract, exit-state rec)."""
+    ucfg = cfg.head
+    n, b = ucfg.seg_count, ucfg.block_size
+    fft = ucfg.fft_size
+    p = cfg.period
+    q = t // p
+    m = next_power_of_two(t + 2 * n - 1)
+    c = _rdft_cost(t, fft)                       # shared forward DFTs
+    c += _cdft4_cost(1, m, b).scaled(2)          # ehat + khat forward
+    c += Cost(flops=6.0 * m * b, bytes=4.0 * m * b * 2 * 2)   # product
+    c += _cdft4_cost(1, m, b)                    # inverse
+    c += _rdft_cost(t, fft)                      # inverse DFTs
+    c += _cdft4_cost(1, 2 * n, b).scaled(2)      # first-period subtract
+    nrec = min(q, 2) * p + 1
+    c += _cdft4_cost(1, next_power_of_two(n - 1 + nrec), b).scaled(2)
+    c += _rdft_cost(nrec, fft)                   # exit-state rec pass
+    # state traffic: read both IR spectra tables + ring, write ring
+    c += Cost(flops=0.0, bytes=4.0 * (2 * n * 2 * b * 2 + t * 2 * b))
+    return c
+
+
 def two_stage_stream_cost(cfg: two_stage.TwoStageConfig, t: int) -> Cost:
     """two_stage.process_stream_aligned over T head blocks (T % period == 0)."""
     q = t // cfg.period
-    c = stream_conv_cost(cfg.head, t)
-    if cfg.tail0 is not None:
-        c += stream_conv_cost(cfg.tail0, t)
+    if cfg.tail0 is not None and cfg.head == cfg.tail0:
+        c = fused_heads_cost(cfg, t)
+    else:
+        c = stream_conv_cost(cfg.head, t)
+        if cfg.tail0 is not None:
+            c += stream_conv_cost(cfg.tail0, t)
     if cfg.tail is not None:
         c += stream_scan_sliced_cost(cfg.tail, q)
     # the three-way output sum
