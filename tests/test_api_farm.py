@@ -129,3 +129,29 @@ def test_reverb_farm_on_mesh():
     np.testing.assert_allclose(
         np.asarray(farm.process(x)), np.asarray(ref.process(x)), atol=1e-5
     )
+
+
+def test_reverb_farm_varying_call_lengths():
+    """The fused head path's input-window history carry must hold across
+    calls of DIFFERENT lengths (T = p, 2p, p), including immediately
+    after an update (the suppressed first period at T = p)."""
+    farm, irs, rng = _farm(seed=37)
+    v, b, p = farm.voices, farm.block_size, farm.period
+    x = rng.standard_normal((4 * p, v, b)).astype(np.float32)
+    new_irs = rng.standard_normal((v, 7000)).astype(np.float32) * 0.05
+
+    ys = [np.asarray(farm.process(x[:p]))]
+    ys.append(np.asarray(farm.process(x[p:3 * p])))
+    farm.update(new_irs)
+    ys.append(np.asarray(farm.process(x[3 * p:])))  # T = p right after update
+    y = np.concatenate(ys, axis=0)
+
+    for voice in range(v):
+        e = TwoStageFFTConvolver(irs[voice], b, irs.shape[1])
+        r1 = e.process(x[:3 * p, voice].reshape(-1))
+        e.update_extension(new_irs[voice])
+        r2 = e.process(x[3 * p:, voice].reshape(-1))
+        np.testing.assert_allclose(
+            y[:, voice].reshape(-1), np.concatenate([r1, r2]),
+            atol=1e-5, err_msg=f"voice {voice}",
+        )
