@@ -126,7 +126,10 @@ def main() -> None:
     sr = 48000
     block = 128
     ir_seconds = 10
-    t_blocks = 2048   # multiple of the tail period (8192/128 = 64)
+    # multiple of the tail period (8192/128 = 64), chosen to FILL the
+    # combined head kernel's meta-DFT: ext rows = T + 2n - 1 = 4095 of the
+    # m = 4096 meta (T = 2048 wasted 47% of every meta pass as zero pad)
+    t_blocks = 3968
     # two-point slope: the relay costs ~25 ms fixed per dispatch+fetch, so
     # timing chains of c1 and c2 iterations and taking the slope cancels
     # every per-call constant, leaving pure device time

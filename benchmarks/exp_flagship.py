@@ -70,7 +70,12 @@ def main():
     rng = np.random.default_rng(0)
     ir = (rng.standard_normal(10 * SR) * 0.01).astype(np.float32)
     cfg, state = two_stage.init(ir, 128, len(ir))
-    t = 2048
+    # default fills the combined kernel's meta-DFT: T + 2n - 1 = 4095 of
+    # the m = 4096 meta (T=2048 pads 47% of every meta pass with zeros)
+    t = 3968
+    for i, a in enumerate(sys.argv):
+        if a == "--t":
+            t = int(sys.argv[i + 1])
     x = jnp.asarray(rng.standard_normal((t, 128)).astype(np.float32))
     khats = jax.jit(functools.partial(two_stage.stream_khats, cfg),
                     static_argnums=(1,))(state, t)
