@@ -601,8 +601,8 @@ def farm2_head_khat(cfg: two_stage.TwoStageConfig,
 def _heads_state_out(st_h: uniform.UniformState, st_t0: uniform.UniformState,
                      ext: jnp.ndarray, outs: jnp.ndarray, t: int, n: int,
                      hist0: int):
-    """Shared ring-rebuild/exit-state tail of the two head-path variants
-    (full-ring roll fast path, lockstep scalars) — mirrors
+    """Ring-rebuild/exit-state tail of the fused head path (full-ring
+    roll fast path, lockstep scalars) — mirrors
     ``models.uniform._stream_conv.rebuild_roll``, batched over voices.
     ``hist0``: number of history rows preceding the new blocks in ``ext``
     (``ext[hist0 + j]`` is new block ``j``).  Farm invariant PRODUCED: only
