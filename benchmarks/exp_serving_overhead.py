@@ -94,12 +94,27 @@ def main():
         )
         wall = time_chain(step, pstate, xs)
         per_block = wall / t_blocks
-        traffic = 2 * 2 * n_segs * BLOCK * 4  # ring r + table r (re+im)
+        traffic = (2 + 4) * n_segs * BLOCK * 4  # ring (2 planes) + doubled table
         floor = traffic / 819e9
         print(
-            f"N={n_segs:5d}: {per_block*1e6:7.2f} us/blk "
+            f"N={n_segs:5d} f32:    {per_block*1e6:7.2f} us/blk "
             f"(ring+table DMA floor {floor*1e6:5.2f} us, "
             f"{floor/per_block*100:5.1f}% of floor)",
+            flush=True,
+        )
+
+        pconsts, ppstate = pallas_engine.from_uniform_packed(ucfg, ustate)
+        pstep = functools.partial(
+            pallas_engine.block_step_packed, ucfg, pconsts, interpret=interp
+        )
+        wall_p = time_chain(pstep, ppstate, xs)
+        per_block_p = wall_p / t_blocks
+        floor_p = floor / 2
+        print(
+            f"N={n_segs:5d} packed: {per_block_p*1e6:7.2f} us/blk "
+            f"(DMA floor {floor_p*1e6:5.2f} us, "
+            f"{floor_p/per_block_p*100:5.1f}% of floor, "
+            f"{per_block/per_block_p:4.2f}x the f32 step)",
             flush=True,
         )
 

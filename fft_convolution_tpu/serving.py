@@ -27,10 +27,11 @@ from .ops import pallas_engine
 
 
 @functools.lru_cache(maxsize=None)
-def _jit_step(cfg: uniform.UniformConfig, interpret: bool):
-    return jax.jit(
-        functools.partial(pallas_engine.block_step, cfg, interpret=interpret)
-    )
+def _jit_step(cfg: uniform.UniformConfig, interpret: bool,
+              packed: bool = False):
+    step = (pallas_engine.block_step_packed if packed
+            else pallas_engine.block_step)
+    return jax.jit(functools.partial(step, cfg, interpret=interpret))
 
 
 @functools.lru_cache(maxsize=None)
@@ -534,13 +535,27 @@ class PallasCrossfadeConvolver:
 
 
 class PallasFFTConvolver:
-    """Fused-kernel uniform convolver for single-block real-time serving."""
+    """Fused-kernel uniform convolver for single-block real-time serving.
+
+    ``storage="bf16_packed"`` stores the input-spectra ring and the IR
+    table as plane-packed bf16 words (ops/packing.py): the per-block step
+    is DMA-bound at large segment counts, so this halves its HBM floor.
+    The current block's direct term stays f32-exact (the kernel's
+    stale-row correction uses the fresh spectrum); the N-1 history terms
+    carry bf16 rounding (~1e-3 relative on the convolution tail).
+    Opt-in for latency/throughput serving; default f32 keeps the 1e-5
+    reference parity."""
 
     def __init__(self, response, block_size: int, max_response_length: int,
-                 interpret: bool | None = None):
+                 interpret: bool | None = None, storage: str = "float32"):
         response = np.asarray(response, np.float32)
         self.cfg = uniform.make_config(block_size, max_response_length)
-        if not pallas_engine.fits_vmem(self.cfg):
+        if storage not in ("float32", "bf16_packed"):
+            raise ValueError("storage must be 'float32' or 'bf16_packed'")
+        self._packed = storage == "bf16_packed"
+        fits = (pallas_engine.fits_vmem_packed if self._packed
+                else pallas_engine.fits_vmem)
+        if not fits(self.cfg):
             raise ValueError(
                 "working set exceeds the VMEM budget; use FFTConvolver or "
                 "TwoStageFFTConvolver for IRs this long"
@@ -549,7 +564,9 @@ class PallasFFTConvolver:
             interpret = jax.devices()[0].platform != "tpu"
         self._interpret = interpret
         _, state = uniform.init(response, block_size, max_response_length)
-        self.consts, self.state = pallas_engine.from_uniform(self.cfg, state)
+        build = (pallas_engine.from_uniform_packed if self._packed
+                 else pallas_engine.from_uniform)
+        self.consts, self.state = build(self.cfg, state)
 
     def update(self, response) -> None:
         """RT-safe IR swap: rebuild the doubled-IR tables (fixed shapes,
@@ -563,18 +580,20 @@ class PallasFFTConvolver:
         padded = np.zeros(self.cfg.seg_count * self.cfg.block_size, np.float32)
         padded[: response.shape[0]] = response
         ir2_re, ir2_im = _jit_rebuild_ir(self.cfg)(jnp.asarray(padded))
-        self.consts = self.consts._replace(ir2_re=ir2_re, ir2_im=ir2_im)
+        if self._packed:
+            from .ops.packing import pack_c32
+
+            self.consts = self.consts._replace(
+                ir2_w=jax.jit(pack_c32)(ir2_re, ir2_im)
+            )
+        else:
+            self.consts = self.consts._replace(ir2_re=ir2_re, ir2_im=ir2_im)
         self.state = self.state._replace(
             overlap=jnp.zeros_like(self.state.overlap)
         )
 
     def reset(self) -> None:
-        self.state = pallas_engine.PallasFDLState(
-            seg_re=jnp.zeros_like(self.state.seg_re),
-            seg_im=jnp.zeros_like(self.state.seg_im),
-            overlap=jnp.zeros_like(self.state.overlap),
-            current=jnp.zeros_like(self.state.current),
-        )
+        self.state = jax.tree.map(jnp.zeros_like, self.state)
 
     def process(self, input) -> np.ndarray:
         x = np.asarray(input, np.float32)
@@ -584,7 +603,7 @@ class PallasFFTConvolver:
                 f"{self.cfg.block_size}-sample block (got {x.shape[0]}); "
                 "use FFTConvolver for arbitrary lengths"
             )
-        step = _jit_step(self.cfg, self._interpret)
+        step = _jit_step(self.cfg, self._interpret, self._packed)
         self.state, y = step(self.consts, self.state, jnp.asarray(x))
         return np.asarray(y)
 

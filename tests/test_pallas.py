@@ -225,3 +225,53 @@ def test_pallas_streaming_convolver_matches_engine():
     conv.reset()
     y2 = conv.process(x[:8 * b])
     np.testing.assert_array_equal(y1, y2)
+
+
+def test_pallas_packed_serving_convolver():
+    """storage="bf16_packed": ring + IR table at bf16 (half the step's
+    DMA), output within bf16 tolerance of the f32 engine; update/reset
+    contracts intact.  The packed word unpack is exercised on hardware by
+    bench.py's parity gates; this is the interpret-mode contract."""
+    import numpy as np
+    import pytest
+
+    from fft_convolution_tpu import FFTConvolver
+    from fft_convolution_tpu.serving import PallasFFTConvolver
+
+    rng = np.random.default_rng(44)
+    b = 128
+    ir = rng.standard_normal(b * 24).astype(np.float32) * 0.1
+    x = rng.standard_normal(b * 64).astype(np.float32)
+
+    conv = PallasFFTConvolver(ir, b, len(ir), storage="bf16_packed")
+    ref = FFTConvolver(ir, b, len(ir))
+    y = np.concatenate([conv.process(x[i * b:(i + 1) * b])
+                        for i in range(64)])
+    y_ref = ref.process(x)
+    scale = np.abs(y_ref).max()
+    # bf16 carries ~3 significant digits; the summed history terms land
+    # around 1e-3 relative of the output scale
+    np.testing.assert_allclose(y / scale, y_ref / scale, atol=5e-3)
+
+    # update keeps ring history (bf16), zeroes overlap — vs an f32 ref
+    # fed the same stream
+    ir_b = rng.standard_normal(b * 24).astype(np.float32) * 0.1
+    conv.update(ir_b)
+    ref.update(ir_b)
+    y2 = np.concatenate([conv.process(x[i * b:(i + 1) * b])
+                         for i in range(24)])
+    y2_ref = ref.process(x[: 24 * b])
+    scale = np.abs(y2_ref).max()
+    np.testing.assert_allclose(y2 / scale, y2_ref / scale, atol=5e-3)
+
+    # reset repeatability (bit-exact between runs of the same program)
+    conv.reset()
+    r1 = np.concatenate([conv.process(x[i * b:(i + 1) * b])
+                         for i in range(4)])
+    conv.reset()
+    r2 = np.concatenate([conv.process(x[i * b:(i + 1) * b])
+                         for i in range(4)])
+    np.testing.assert_array_equal(r1, r2)
+
+    with pytest.raises(ValueError):
+        PallasFFTConvolver(ir, b, len(ir), storage="int8")
