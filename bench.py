@@ -291,6 +291,30 @@ def main() -> None:
         gate_stream(sconv.state, sustate, x[:n_gate])
     )
 
+    # packed-table grid-streaming variant (bf16 words, half the streamed
+    # bytes): relative gate at bf16 tolerance vs the jnp engine
+    pk_consts = pallas_stream.build_consts_packed(
+        uniform.init(ir, block, scfg.seg_count * scfg.block_size)[1]
+        .segments_ir, scfg.seg_count, scfg.block_size,
+    )
+
+    @jax.jit
+    def gate_stream_packed(ss, us, xs):
+        ss2, yp = pallas_stream.stream(
+            scfg, pk_consts, ss, xs, chunk=sconv._chunk, interpret=interp
+        )
+        def body(us, xb):
+            return uniform.process_block(scfg, us, xb)
+        _, yj = jax.lax.scan(body, us, xs)
+        yj = jnp.reshape(yj, (-1,))
+        return (jnp.max(jnp.abs(jnp.reshape(yp, (-1,)) - yj))
+                / jnp.max(jnp.abs(yj)))
+
+    pallas_parity["grid_stream_packed_rel"] = float(
+        gate_stream_packed(pallas_stream.zero_state(
+            scfg.seg_count, scfg.block_size), sustate, x[:n_gate])
+    )
+
     # small farm: tail_mac pallas vs jnp on identical state (V=4, 4 s IRs)
     irs_f = (rng.standard_normal((4, 4 * sr)) * 0.01).astype(np.float32)
     fcfg, fstate = farm2.farm2_init(irs_f, block, irs_f.shape[1])
@@ -337,8 +361,8 @@ def main() -> None:
         ", ".join(f"{k}={v:.3e}" for k, v in pallas_parity.items()))
     gate_tols = {"uniform_step": 1e-4, "uniform_step_packed_rel": 5e-3,
                  "two_stage_step": 1e-4,
-                 "grid_stream": 1e-4, "farm_tail_rel": 2e-4,
-                 "farm_tail_bf16_rel": 2e-4}
+                 "grid_stream": 1e-4, "grid_stream_packed_rel": 5e-3,
+                 "farm_tail_rel": 2e-4, "farm_tail_bf16_rel": 2e-4}
     for k, v in pallas_parity.items():
         if not (v <= gate_tols[k]):  # catches NaN too
             fail(f"pallas kernel parity failure: {k}={v:.3e}")

@@ -51,7 +51,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .fft import _irdft_basis, _rdft_basis
-from .pallas_engine import _dot
+from .pallas_engine import _dot, _unpack_words
 from ..models.uniform import UniformConfig
 
 # the ring scratch + bases + chunk double-buffers must fit VMEM
@@ -93,16 +93,8 @@ def fits_vmem(seg_count: int, block_size: int, chunk: int = 512) -> bool:
     return working < _VMEM_BUDGET
 
 
-def _kernel(n: int, b: int, c: int, t_real: int, t_pad: int,
-            w0_ref,                                         # SMEM in
-            x_ref, irrev_re_hbm, irrev_im_hbm,
-            rin_re_hbm, rin_im_hbm, ovl_in_ref,
-            fwd_ref, invre_ref, invim_ref,                  # VMEM/ANY in
-            y_ref, rout_re_hbm, rout_im_hbm, ovl_out_ref,   # VMEM/ANY out
-            w_out_ref,                                      # SMEM out
-            ring_re, ring_im, kbuf_re, kbuf_im,
-            spec_re, spec_im, ovl,
-            sem_load, sem_k, sem_out):                      # scratch
+def _kernel(n: int, b: int, c: int, t_real: int, t_pad: int, packed: bool,
+            *refs):
     """1-D grid over audio blocks; the IR-chunk loop runs IN-KERNEL with
     explicitly double-buffered HBM->VMEM DMAs (the guide's slot pattern), so
     the per-chunk cost is a DMA wait + 4 VPU reductions instead of a full
@@ -114,11 +106,32 @@ def _kernel(n: int, b: int, c: int, t_real: int, t_pad: int,
     the ring back out.  x/y move in (8, B) groups (Mosaic's sublane rule),
     the kernel selecting row (t-1) % 8.
 
+    ``packed``: the IR table is ONE plane-packed uint32 ref instead of two
+    f32 planes (ops/packing.py) — half the streamed bytes per chunk (the
+    dominant per-block cost for long IRs), unpacked lane-locally after the
+    DMA wait.  The ring scratch stays f32 (resident, not streamed).
+
     (An 8-blocks-per-row variant that amortizes the IR DMA 8x was measured
     3.7x SLOWER: its per-block kernel-table pairing needs 8 sublane-
     misaligned slices per chunk, and misaligned VMEM access dominates
     everything on this target.)
     """
+    if packed:
+        (w0_ref, x_ref, irrev_w_hbm,
+         rin_re_hbm, rin_im_hbm, ovl_in_ref,
+         fwd_ref, invre_ref, invim_ref,
+         y_ref, rout_re_hbm, rout_im_hbm, ovl_out_ref, w_out_ref,
+         ring_re, ring_im, kbuf_w,
+         spec_re, spec_im, ovl,
+         sem_load, sem_k, sem_out) = refs
+    else:
+        (w0_ref, x_ref, irrev_re_hbm, irrev_im_hbm,
+         rin_re_hbm, rin_im_hbm, ovl_in_ref,
+         fwd_ref, invre_ref, invim_ref,
+         y_ref, rout_re_hbm, rout_im_hbm, ovl_out_ref, w_out_ref,
+         ring_re, ring_im, kbuf_re, kbuf_im,
+         spec_re, spec_im, ovl,
+         sem_load, sem_k, sem_out) = refs
     k_chunks = n // c
     t = pl.program_id(0)
     row = jax.lax.rem(t - 1, 8)
@@ -157,8 +170,11 @@ def _kernel(n: int, b: int, c: int, t_real: int, t_pad: int,
             )
 
         def start_chunk(j, slot):
-            k_copy(j, slot, irrev_re_hbm, kbuf_re, 0).start()
-            k_copy(j, slot, irrev_im_hbm, kbuf_im, 1).start()
+            if packed:
+                k_copy(j, slot, irrev_w_hbm, kbuf_w, 0).start()
+            else:
+                k_copy(j, slot, irrev_re_hbm, kbuf_re, 0).start()
+                k_copy(j, slot, irrev_im_hbm, kbuf_im, 1).start()
 
         start_chunk(0, 0)
 
@@ -170,14 +186,18 @@ def _kernel(n: int, b: int, c: int, t_real: int, t_pad: int,
             def _():
                 start_chunk(j + 1, jax.lax.rem(j + 1, 2))
 
-            k_copy(j, slot, irrev_re_hbm, kbuf_re, 0).wait()
-            k_copy(j, slot, irrev_im_hbm, kbuf_im, 1).wait()
+            if packed:
+                k_copy(j, slot, irrev_w_hbm, kbuf_w, 0).wait()
+                k_re, k_im = _unpack_words(kbuf_w[slot])
+            else:
+                k_copy(j, slot, irrev_re_hbm, kbuf_re, 0).wait()
+                k_copy(j, slot, irrev_im_hbm, kbuf_im, 1).wait()
+                k_re = kbuf_re[slot]
+                k_im = kbuf_im[slot]
 
             s0 = jax.lax.rem(w + 1 + j * c, n)
             seg_re = ring_re[pl.ds(s0, c), :]
             seg_im = ring_im[pl.ds(s0, c), :]
-            k_re = kbuf_re[slot]
-            k_im = kbuf_im[slot]
             rr = rr + jnp.sum(seg_re * k_re, axis=0, keepdims=True)
             ii = ii + jnp.sum(seg_im * k_im, axis=0, keepdims=True)
             ri = ri + jnp.sum(seg_re * k_im, axis=0, keepdims=True)
@@ -194,8 +214,11 @@ def _kernel(n: int, b: int, c: int, t_real: int, t_pad: int,
         d_re = spec_re[:] - ring_re[pl.ds(w, 1), :]
         d_im = spec_im[:] - ring_im[pl.ds(w, 1), :]
         last = jax.lax.rem(k_chunks - 1, 2)
-        ir0_re = kbuf_re[last, pl.ds(c - 1, 1), :]
-        ir0_im = kbuf_im[last, pl.ds(c - 1, 1), :]
+        if packed:
+            ir0_re, ir0_im = _unpack_words(kbuf_w[last, pl.ds(c - 1, 1), :])
+        else:
+            ir0_re = kbuf_re[last, pl.ds(c - 1, 1), :]
+            ir0_im = kbuf_im[last, pl.ds(c - 1, 1), :]
         rr = rr + d_re * ir0_re
         ii = ii + d_im * ir0_im
         ri = ri + d_re * ir0_im
@@ -238,9 +261,10 @@ def _kernel(n: int, b: int, c: int, t_real: int, t_pad: int,
 
 
 @functools.lru_cache(maxsize=None)
-def _build_call(n: int, b: int, c: int, t_real: int, interpret: bool):
+def _build_call(n: int, b: int, c: int, t_real: int, interpret: bool,
+                packed: bool = False):
     t_pad = -(-t_real // 8) * 8
-    kernel = functools.partial(_kernel, n, b, c, t_real, t_pad)
+    kernel = functools.partial(_kernel, n, b, c, t_real, t_pad, packed)
     groups = t_pad // 8
     # rows: t=0 ring load, t in [1, T_real] block processing (rows up to
     # T_pad idle), t=T_pad+1 ring unload
@@ -262,8 +286,12 @@ def _build_call(n: int, b: int, c: int, t_real: int, interpret: bool):
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),             # w0
             pl.BlockSpec((8, b), xy_map),                      # x
-            pl.BlockSpec(memory_space=pl.ANY),              # irrev_re (HBM)
-            pl.BlockSpec(memory_space=pl.ANY),              # irrev_im (HBM)
+        ] + (
+            [pl.BlockSpec(memory_space=pl.ANY)]             # irrev_w (HBM)
+            if packed else
+            [pl.BlockSpec(memory_space=pl.ANY),             # irrev_re (HBM)
+             pl.BlockSpec(memory_space=pl.ANY)]             # irrev_im (HBM)
+        ) + [
             pl.BlockSpec(memory_space=pl.ANY),              # rin_re (HBM)
             pl.BlockSpec(memory_space=pl.ANY),              # rin_im (HBM)
             pl.BlockSpec((1, b), lambda t: (0, 0)),            # overlap in
@@ -281,8 +309,12 @@ def _build_call(n: int, b: int, c: int, t_real: int, interpret: bool):
         scratch_shapes=[
             pltpu.VMEM((n + c, b), jnp.float32),       # ring_re
             pltpu.VMEM((n + c, b), jnp.float32),       # ring_im
-            pltpu.VMEM((2, c, b), jnp.float32),        # kbuf_re (2 slots)
-            pltpu.VMEM((2, c, b), jnp.float32),        # kbuf_im
+        ] + (
+            [pltpu.VMEM((2, c, b), jnp.uint32)]        # kbuf_w (2 slots)
+            if packed else
+            [pltpu.VMEM((2, c, b), jnp.float32),       # kbuf_re (2 slots)
+             pltpu.VMEM((2, c, b), jnp.float32)]       # kbuf_im
+        ) + [
             pltpu.VMEM((1, b), jnp.float32),           # spec_re
             pltpu.VMEM((1, b), jnp.float32),           # spec_im
             pltpu.VMEM((1, b), jnp.float32),           # ovl
@@ -312,6 +344,28 @@ def build_consts(ir_spectra: jnp.ndarray, n: int, b: int) -> StreamConsts:
     )
 
 
+class StreamConstsPacked(NamedTuple):
+    """Per-IR tables with the streamed table plane-packed to bf16 words
+    (ops/packing.py): HALF the per-chunk DMA — the dominant per-block
+    cost for long IRs — at ~1e-3 relative on the output."""
+
+    irrev_w: jnp.ndarray    # u32 [N, B] packed irrev[u] = ir[N-1-u]
+    fwd_half: jnp.ndarray   # f32 [B, 2B]
+    inv_re: jnp.ndarray     # f32 [B, 2B]
+    inv_im: jnp.ndarray     # f32 [B, 2B]
+
+
+def build_consts_packed(ir_spectra: jnp.ndarray, n: int,
+                        b: int) -> StreamConstsPacked:
+    from .packing import pack_c32
+
+    c = build_consts(ir_spectra, n, b)
+    return StreamConstsPacked(
+        irrev_w=pack_c32(c.irrev_re, c.irrev_im),
+        fwd_half=c.fwd_half, inv_re=c.inv_re, inv_im=c.inv_im,
+    )
+
+
 def zero_state(n: int, b: int) -> StreamState:
     return StreamState(
         ring_re=jnp.zeros((n, b), jnp.float32),
@@ -321,21 +375,26 @@ def zero_state(n: int, b: int) -> StreamState:
     )
 
 
-def stream(cfg: UniformConfig, consts: StreamConsts, state: StreamState,
+def stream(cfg: UniformConfig, consts, state: StreamState,
            blocks: jnp.ndarray, chunk: int = 512,
            interpret: bool = False) -> Tuple[StreamState, jnp.ndarray]:
     """Run ``blocks [T, B]`` through the grid-streaming kernel.
-    ``cfg.seg_count`` must be a multiple of ``chunk`` (wrapper pads)."""
+    ``cfg.seg_count`` must be a multiple of ``chunk`` (wrapper pads).
+    ``consts``: :class:`StreamConsts` (f32) or :class:`StreamConstsPacked`
+    (bf16-packed table, half the streamed bytes)."""
     n, b = cfg.seg_count, cfg.block_size
     c = min(chunk, n)
     assert n % c == 0, "seg_count must be a multiple of the chunk size"
+    packed = isinstance(consts, StreamConstsPacked)
     t_total = blocks.shape[0]
-    call = _build_call(n, b, c, t_total, interpret)
+    call = _build_call(n, b, c, t_total, interpret, packed)
     t_pad = -(-t_total // 8) * 8
     if t_pad != t_total:
         blocks = jnp.pad(blocks, ((0, t_pad - t_total), (0, 0)))
+    tables = ((consts.irrev_w,) if packed
+              else (consts.irrev_re, consts.irrev_im))
     y, ring_re, ring_im, overlap, w = call(
-        state.w, blocks, consts.irrev_re, consts.irrev_im,
+        state.w, blocks, *tables,
         state.ring_re, state.ring_im, state.overlap,
         consts.fwd_half, consts.inv_re, consts.inv_im,
     )

@@ -245,9 +245,13 @@ class PallasStreamingConvolver:
     """
 
     def __init__(self, response, block_size: int, max_response_length: int,
-                 chunk: int = 512, interpret: bool | None = None):
+                 chunk: int = 512, interpret: bool | None = None,
+                 storage: str = "float32"):
         from .ops import pallas_stream
 
+        if storage not in ("float32", "bf16_packed"):
+            raise ValueError("storage must be 'float32' or 'bf16_packed'")
+        self._packed = storage == "bf16_packed"
         response = np.asarray(response, np.float32)
         if max_response_length < response.shape[0]:
             raise ValueError(
@@ -269,9 +273,9 @@ class PallasStreamingConvolver:
         self._interpret = interpret
         self._declared_max = max_response_length
         _, ustate = uniform.init(response, block_size, n * cfg0.block_size)
-        self.consts = pallas_stream.build_consts(
-            ustate.segments_ir, n, self.cfg.block_size
-        )
+        build = (pallas_stream.build_consts_packed if self._packed
+                 else pallas_stream.build_consts)
+        self.consts = build(ustate.segments_ir, n, self.cfg.block_size)
         self.state = pallas_stream.zero_state(n, self.cfg.block_size)
         self._runs: dict = {}
 
@@ -319,7 +323,9 @@ class PallasStreamingConvolver:
         n = self.cfg.seg_count
         # _jit_rebuild_ir returns doubled planes; un-double and reverse
         spec = jnp.stack([ir2_re[:n], ir2_im[:n]], axis=1)
-        self.consts = pallas_stream.build_consts(spec, n, self.cfg.block_size)
+        build = (pallas_stream.build_consts_packed if self._packed
+                 else pallas_stream.build_consts)
+        self.consts = build(spec, n, self.cfg.block_size)
         self.state = self.state._replace(
             overlap=jnp.zeros_like(self.state.overlap)
         )
@@ -345,6 +351,7 @@ class PallasStreamingConvolver:
         other._chunk = self._chunk
         other._interpret = self._interpret
         other._declared_max = self._declared_max
+        other._packed = self._packed
         other._runs = {}
         return other
 
@@ -619,4 +626,5 @@ class PallasFFTConvolver:
         other.consts = self.consts
         other.state = self.state
         other._interpret = self._interpret
+        other._packed = self._packed
         return other

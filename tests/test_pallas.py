@@ -275,3 +275,50 @@ def test_pallas_packed_serving_convolver():
 
     with pytest.raises(ValueError):
         PallasFFTConvolver(ir, b, len(ir), storage="int8")
+
+
+def test_pallas_streaming_packed_matches_f32():
+    """storage="bf16_packed" on the grid-streaming convolver: half the
+    streamed table bytes, output at bf16 tolerance of the f32 kernel;
+    update/reset/multi-call contracts intact."""
+    import numpy as np
+    import pytest
+
+    from fft_convolution_tpu.serving import PallasStreamingConvolver
+
+    rng = np.random.default_rng(46)
+    b = 128
+    ir = rng.standard_normal(b * 21 - 37).astype(np.float32) * 0.1
+    ir_b = rng.standard_normal(b * 10).astype(np.float32) * 0.1
+    x = rng.standard_normal(b * 48).astype(np.float32)
+
+    conv = PallasStreamingConvolver(ir, b, len(ir), chunk=8,
+                                    storage="bf16_packed")
+    ref = PallasStreamingConvolver(ir, b, len(ir), chunk=8)
+
+    for lo, hi in [(0, 20), (20, 48)]:
+        y = conv.process(x[lo * b:hi * b])
+        y_ref = ref.process(x[lo * b:hi * b])
+        scale = max(np.abs(y_ref).max(), 1e-30)
+        np.testing.assert_allclose(y / scale, y_ref / scale, atol=5e-3,
+                                   err_msg=f"{lo}:{hi}")
+
+    conv.update(ir_b)
+    ref.update(ir_b)
+    y = conv.process(x[:16 * b])
+    y_ref = ref.process(x[:16 * b])
+    scale = max(np.abs(y_ref).max(), 1e-30)
+    np.testing.assert_allclose(y / scale, y_ref / scale, atol=5e-3)
+
+    conv.reset()
+    y1 = conv.process(x[:8 * b])
+    conv.reset()
+    y2 = conv.process(x[:8 * b])
+    np.testing.assert_array_equal(y1, y2)
+
+    twin = conv.clone()
+    np.testing.assert_array_equal(twin.process(x[:8 * b]),
+                                  conv.process(x[:8 * b]))
+
+    with pytest.raises(ValueError):
+        PallasStreamingConvolver(ir, b, len(ir), storage="fp8")
