@@ -1,9 +1,11 @@
 """Experiment: grid-streaming Pallas kernel at the 30 s IR config on TPU.
 
+``--packed``: bf16-packed IR table (half the streamed bytes).
+
 Parity (first blocks vs direct convolution) + per-block device latency via
 the two-point slope over T1/T2-block calls.
 
-Usage: python -m benchmarks.exp_pallas_stream [--seconds N] [--cpu]
+Usage: python -m benchmarks.exp_pallas_stream [--seconds N] [--packed] [--cpu]
 """
 
 from __future__ import annotations
@@ -40,9 +42,10 @@ def main():
     rng = np.random.default_rng(0)
     ir = (rng.standard_normal(seconds * SR) * 0.005).astype(np.float32)
     t0 = time.perf_counter()
-    conv = PallasStreamingConvolver(ir, b, len(ir))
+    storage = "bf16_packed" if "--packed" in sys.argv else "float32"
+    conv = PallasStreamingConvolver(ir, b, len(ir), storage=storage)
     print(f"init {time.perf_counter()-t0:.1f}s  N={conv.cfg.seg_count} "
-          f"chunk={conv._chunk}", flush=True)
+          f"chunk={conv._chunk} storage={storage}", flush=True)
 
     # parity gate: first 4096 samples vs direct convolution
     n_check = 4096
@@ -54,8 +57,9 @@ def main():
         x[:n_check].astype(np.float64), ir[:n_check].astype(np.float64)
     )[:n_check]
     err = np.abs(y[:n_check] - exp).max()
-    print(f"parity: {err:.3e}", flush=True)
-    assert err < 1e-4
+    rel = err / max(np.abs(exp).max(), 1e-30)
+    print(f"parity: {err:.3e} abs, {rel:.3e} rel", flush=True)
+    assert rel < (5e-3 if storage == "bf16_packed" else 1e-4)
 
     # latency: slope over T1 vs T2 block calls (chained by engine state)
     def timed(t_blocks, reps=3):
