@@ -82,7 +82,11 @@ def config1_mono_parity():
     rng = np.random.default_rng(0)
     ir = (rng.standard_normal(SR) * 0.02).astype(np.float32)
     cfg, state = uniform.init(ir, 128, len(ir))
-    t = 1024
+    # fill the stream MAC's meta-DFT exactly: N - 1 + T = npo2 (T = 1024
+    # zero-padded a third of every meta pass)
+    from fft_convolution_tpu.ops.fft import next_power_of_two
+
+    t = next_power_of_two(cfg.seg_count + 1023) - cfg.seg_count + 1
     x = jnp.asarray(rng.standard_normal((t, 128)).astype(np.float32))
     import jax
 
@@ -106,9 +110,20 @@ def config2_stereo():
     rng = np.random.default_rng(1)
     irs = (rng.standard_normal((2, 5 * SR)) * 0.01).astype(np.float32)
     cfg, state = farm.farm_init(jnp.asarray(irs), 256, 5 * SR)
-    t = 512
+    # serve with the precomputed kernel meta-DFT (farm_khat) at a
+    # meta-filling stream length (N - 1 + T = npo2)
+    from fft_convolution_tpu.ops.fft import next_power_of_two
+
+    t = next_power_of_two(cfg.seg_count + 511) - cfg.seg_count + 1
     x = jnp.asarray(rng.standard_normal((t, 2, 256)).astype(np.float32))
-    wall = _chain_time(functools.partial(farm.farm_stream, cfg), state, x)
+    import jax
+
+    kh = jax.jit(functools.partial(farm.farm_khat, cfg),
+                 static_argnums=(1,))(state, t)
+    wall = _chain_time(
+        lambda st, xs, k: farm.farm_stream(cfg, st, xs, kern_hat=k),
+        state, x, aux=kh,
+    )
     audio = t * 256 / SR
     return {"xrt": audio / wall, "us_per_block": wall / t * 1e6}
 

@@ -718,7 +718,8 @@ def stream_conv_unguarded(cfg: UniformConfig, state: UniformState,
 
 
 def stream_conv_farm(cfg: UniformConfig, state: UniformState,
-                     vx: jnp.ndarray) -> Tuple[UniformState, jnp.ndarray]:
+                     vx: jnp.ndarray,
+                     kern_hat=None) -> Tuple[UniformState, jnp.ndarray]:
     """Farm-native conv stream: ``state`` leaves carry a leading voice axis
     V, ``vx`` is ``[V, T, B]``; voices fold into the grouped-conv channel
     axis MANUALLY (``C = V * 2B``) — vmapping a conv with per-voice kernels
@@ -746,8 +747,10 @@ def stream_conv_farm(cfg: UniformConfig, state: UniformState,
         ext = specs
 
     # the MAC over the whole stream is a second DFT along the block axis
-    # (ops.fft.causal_conv_time) — all MXU matmuls, batched over voices
-    convs = causal_conv_time(ext, state.segments_ir, t)      # [V, T, 2, B]
+    # (ops.fft.causal_conv_time) — all MXU matmuls, batched over voices;
+    # kern_hat (parallel.farm.farm_khat) hoists the kernel-side meta-DFT
+    convs = causal_conv_time(ext, state.segments_ir, t,
+                             kern_hat=kern_hat)              # [V, T, 2, B]
 
     # ring rebuild (shared indices across voices)
     current_f = jnp.mod(current - t, active_n).astype(jnp.int32)

@@ -125,8 +125,24 @@ def lockstep_vmap_stream(stream_fn, state, vx):
     return st2, ys
 
 
+def farm_khat(cfg: uniform.UniformConfig, state: uniform.UniformState,
+              t: int):
+    """Batched :func:`models.uniform.stream_khat` over the voice axis:
+    the farm stream MAC's kernel meta-spectra for ``T = t``-block calls,
+    input-independent between IR updates (rebuild after ``farm_update``).
+    Pass to :func:`farm_stream` as ``kern_hat=``."""
+    from ..ops.fft import causal_conv_khat, next_power_of_two
+
+    n = cfg.seg_count
+    m = next_power_of_two(n - 1 + t) if n > 1 else next_power_of_two(t)
+    i = jnp.arange(n, dtype=jnp.int32)
+    mask = (i[None, :] < state.active_segs[:, None])[:, :, None, None]
+    return causal_conv_khat(jnp.where(mask, state.segments_ir, 0.0), m)
+
+
 def farm_stream(cfg: uniform.UniformConfig, state: uniform.UniformState,
-                blocks: jnp.ndarray) -> Tuple[uniform.UniformState, jnp.ndarray]:
+                blocks: jnp.ndarray,
+                kern_hat=None) -> Tuple[uniform.UniformState, jnp.ndarray]:
     """Stream ``blocks [T, V, B]`` through the farm -> ``[T, V, B]``.
 
     Fast path: every voice's ring is full and clean and the voices are in
@@ -134,7 +150,8 @@ def farm_stream(cfg: uniform.UniformConfig, state: uniform.UniformState,
     shared ring indices — one batched program with zero sequential steps.
     The predicate is reduced over ALL voices so the ``lax.cond`` stays
     unbatched (vmapping a cond would execute both branches per voice); the
-    fallback is the exact per-block scan.
+    fallback is the exact per-block scan (which ignores ``kern_hat`` —
+    only the conv fast path consumes the precomputed kernel meta-DFT).
     """
     vx = jnp.swapaxes(blocks, 0, 1)  # [V, T, B]
 
@@ -145,7 +162,7 @@ def farm_stream(cfg: uniform.UniformConfig, state: uniform.UniformState,
     )
 
     def fast(st):
-        st2, ys = uniform.stream_conv_farm(cfg, st, vx)
+        st2, ys = uniform.stream_conv_farm(cfg, st, vx, kern_hat=kern_hat)
         return st2, jnp.swapaxes(ys, 0, 1)
 
     def slow(st):

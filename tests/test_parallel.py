@@ -658,3 +658,40 @@ def test_uniform_farm_memory_ceiling():
         farm.farm_init(np.zeros((256, 48000 * 60), np.float32), 128,
                        48000 * 60)
     assert farm.farm_bytes_per_voice(128, 48000 * 60) > 100e6
+
+
+def test_farm_khat_exact():
+    """farm_stream served with farm_khat must match the inline-khat stream
+    bit-for-bit (same matmul program, hoisted), incl. a shrunk voice."""
+    import functools
+
+    import numpy as np
+
+    from fft_convolution_tpu.parallel import farm
+
+    rng = np.random.default_rng(52)
+    v, b = 3, 64
+    irs = rng.standard_normal((v, b * 7)).astype(np.float32) * 0.1
+    cfg, state = farm.farm_init(jnp.asarray(irs), b, b * 7)
+    t = 16
+    x = jnp.asarray(rng.standard_normal((t, v, b)).astype(np.float32))
+
+    kh = jax.jit(functools.partial(farm.farm_khat, cfg),
+                 static_argnums=(1,))(state, t)
+    run = jax.jit(functools.partial(farm.farm_stream, cfg))
+    s1, y1 = run(state, x)
+    s2, y2 = run(state, x, kern_hat=kh)
+    np.testing.assert_array_equal(np.asarray(y1), np.asarray(y2))
+    np.testing.assert_array_equal(np.asarray(s1.segments),
+                                  np.asarray(s2.segments))
+
+    # shrink one voice's IR mid-stream: the mask is part of the khat
+    short = np.zeros((v, b * 7), np.float32)
+    short[:, : b * 3] = rng.standard_normal((v, b * 3)).astype(np.float32)
+    state3 = farm.farm_update(cfg, s1, jnp.asarray(short),
+                              jnp.full((v,), b * 3, jnp.int32))
+    kh3 = jax.jit(functools.partial(farm.farm_khat, cfg),
+                  static_argnums=(1,))(state3, t)
+    s4, y4 = run(state3, x)
+    _, y5 = run(state3, x, kern_hat=kh3)
+    np.testing.assert_array_equal(np.asarray(y4), np.asarray(y5))
