@@ -180,7 +180,11 @@ def config4_crossfade_morph():
     cc.update(ir_b)
     assert cc.is_crossfading()
 
-    t = 256
+    # meta-filling stream length (N - 1 + T = npo2) for both engines
+    from fft_convolution_tpu.ops.fft import next_power_of_two
+
+    n_segs = cc.convolver_a.cfg.seg_count
+    t = next_power_of_two(n_segs + 255) - n_segs + 1
     x = jnp.asarray(rng.standard_normal((t, block)).astype(np.float32))
     fused = _jit_fused_stream(cc.convolver_a.cfg, cc.cf_cfg)
     # both engines' cached kernel meta-DFTs (input-independent per IR
