@@ -53,6 +53,10 @@ class ReverbFarm:
         "pallas", "pallas_interpret", or "jnp".
     mesh : optional ``jax.sharding.Mesh`` with a ``"dp"`` axis — the
         state shards over voices (``V`` must divide by the mesh size).
+        Composes with the Pallas tail kernel: the stream then runs under
+        ``shard_map`` (:func:`parallel.farm2.farm2_stream_sharded`), each
+        device stepping its local voice shard with zero collectives in
+        the audio path.
     """
 
     def __init__(self, irs, block_size: int, max_response_length: int,
@@ -65,20 +69,16 @@ class ReverbFarm:
             irs, block_size, max_response_length, tail_dtype=tail_dtype
         )
         if tail_mac == "auto":
-            # pallas_call has no SPMD partitioning rule: under a mesh the
-            # fused-voice jnp core (which GSPMD shards cleanly) is the
-            # supported tail MAC
             tail_mac = (
-                "pallas"
-                if mesh is None and jax.devices()[0].platform == "tpu"
-                else "jnp"
+                "pallas" if jax.devices()[0].platform == "tpu" else "jnp"
             )
-        if mesh is not None and tail_mac != "jnp":
+        if mesh is not None and "dp" not in mesh.axis_names:
+            raise ValueError("farm mesh needs a 'dp' axis")
+        if mesh is not None and irs.shape[0] % mesh.size != 0:
             raise ValueError(
-                f"tail_mac={tail_mac!r} is not supported with mesh=: the "
-                "Pallas tail kernel has no SPMD partitioning rule, so a "
-                "sharded farm would replicate the multi-GB tail table. "
-                "Use tail_mac='jnp' (or 'auto') with a mesh."
+                f"voices ({irs.shape[0]}) must divide by the mesh size "
+                f"({mesh.size}) — the fused V*B tail axis shards "
+                "voice-chunked"
             )
         self._tail_mac = tail_mac
         self.voices = irs.shape[0]
@@ -104,11 +104,20 @@ class ReverbFarm:
         # donated state: the stream's in-place ring-row writes are the
         # point of the roll-free phased core — without donation every call
         # copies the multi-GB tail ring (snapshot/restore/clone already
-        # copy, so no live aliases remain)
-        self._stream = jax.jit(
-            functools.partial(farm2.farm2_stream, self.cfg, tail_mac=tail_mac),
-            donate_argnums=(0,),
-        )
+        # copy, so no live aliases remain).  Under a mesh the Pallas tail
+        # kernel must run inside shard_map (it has no GSPMD partitioning
+        # rule — farm2_stream_sharded's docstring); the jnp core shards
+        # cleanly under plain GSPMD.
+        if mesh is not None and tail_mac != "jnp":
+            stream_fn = functools.partial(
+                farm2.farm2_stream_sharded, mesh, self.cfg,
+                tail_mac=tail_mac,
+            )
+        else:
+            stream_fn = functools.partial(
+                farm2.farm2_stream, self.cfg, tail_mac=tail_mac
+            )
+        self._stream = jax.jit(stream_fn, donate_argnums=(0,))
         self._update = jax.jit(
             functools.partial(farm2.farm2_update, self.cfg),
             donate_argnums=(0,),

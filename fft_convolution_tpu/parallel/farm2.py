@@ -819,45 +819,105 @@ def farm2_stream(cfg: two_stage.TwoStageConfig, state: two_stage.TwoStageState,
     return st2, jnp.swapaxes(y, 0, 1)
 
 
-def farm2_shard(mesh, state: two_stage.TwoStageState) -> two_stage.TwoStageState:
-    """Place a farm2 state over a ``('dp',)`` mesh: voice axis 0 for the
-    head-side leaves, the fused ``V*B`` axis for the big tail leaves
-    (voice-chunked when ``V`` divides by the mesh size), replicated
-    lockstep scalars."""
-    from jax.sharding import NamedSharding, PartitionSpec as P
-
-    def put(leaf, spec):
-        return jax.device_put(leaf, NamedSharding(mesh, spec))
+def farm2_pspecs(state: two_stage.TwoStageState):
+    """``PartitionSpec`` pytree for a farm2 state over a ``('dp',)`` mesh:
+    voice axis 0 for the head-side leaves, the fused ``V*B`` axis for the
+    big tail leaves (voice-chunked when ``V`` divides by the mesh size),
+    replicated lockstep scalars.  Shared by :func:`farm2_shard` (GSPMD
+    placement) and :func:`farm2_stream_sharded` (shard_map specs)."""
+    from jax.sharding import PartitionSpec as P
 
     def head_side(st):
-        return jax.tree.map(
-            lambda l: put(l, P("dp") if l.ndim >= 1 else P()), st
-        )
+        return jax.tree.map(lambda l: P("dp") if l.ndim >= 1 else P(), st)
 
-    tail = state.tail
     # plane-packed bf16 storage drops the leading plane axis (rank 2:
     # [rows, V*B] uint32) — the fused V*B axis is the LAST one either way
-    big = (P(None, "dp") if tail.segments.ndim == 2
+    big = (P(None, "dp") if state.tail.segments.ndim == 2
            else P(None, None, "dp"))
     tail = uniform.UniformState(
-        segments=put(tail.segments, big),
-        segments_ir=put(tail.segments_ir, big),
-        overlap=put(tail.overlap, P("dp")),
-        input_buffer=put(tail.input_buffer, P("dp")),
-        pre_multiplied=put(tail.pre_multiplied, P(None, "dp")),
-        current=put(tail.current, P()),
-        input_fill=put(tail.input_fill, P()),
-        active_segs=put(tail.active_segs, P()),
+        segments=big,
+        segments_ir=big,
+        overlap=P("dp"),
+        input_buffer=P("dp"),
+        pre_multiplied=P(None, "dp"),
+        current=P(),
+        input_fill=P(),
+        active_segs=P(),
     )
     return state._replace(
         head=head_side(state.head),
         tail0=head_side(state.tail0),
         tail=tail,
-        tail_output0=put(state.tail_output0, P("dp")),
-        tail_precalc0=put(state.tail_precalc0, P("dp")),
-        tail_output=put(state.tail_output, P("dp")),
-        tail_precalc=put(state.tail_precalc, P("dp")),
-        tail_input=put(state.tail_input, P("dp")),
-        tail_fill=put(state.tail_fill, P("dp")),
-        precalc_pos=put(state.precalc_pos, P("dp")),
+        tail_output0=P("dp"),
+        tail_precalc0=P("dp"),
+        tail_output=P("dp"),
+        tail_precalc=P("dp"),
+        tail_input=P("dp"),
+        tail_fill=P("dp"),
+        precalc_pos=P("dp"),
     )
+
+
+def farm2_shard(mesh, state: two_stage.TwoStageState) -> two_stage.TwoStageState:
+    """Place a farm2 state over a ``('dp',)`` mesh per :func:`farm2_pspecs`."""
+    from jax.sharding import NamedSharding
+
+    return jax.tree.map(
+        lambda leaf, spec: jax.device_put(leaf, NamedSharding(mesh, spec)),
+        state, farm2_pspecs(state),
+    )
+
+
+def farm2_stream_sharded(mesh, cfg: two_stage.TwoStageConfig,
+                         state: two_stage.TwoStageState,
+                         blocks: jnp.ndarray,
+                         tail_mac: str = "pallas",
+                         dft_precision: str = "highest",
+                         head_khat=None,
+                         ) -> Tuple[two_stage.TwoStageState, jnp.ndarray]:
+    """:func:`farm2_stream` under ``shard_map`` over the mesh's ``'dp'``
+    axis — pure data parallelism, zero collectives in the audio path: each
+    device runs the full three-stage stream on its local voice shard.
+
+    This is how the Pallas tail kernel composes with a mesh:
+    ``pallas_call`` has no GSPMD partitioning rule (under plain ``jit`` a
+    sharded farm would replicate the multi-GB fused table into the opaque
+    custom call), but inside ``shard_map`` the kernel only ever sees the
+    local ``[.., V_local*B]`` shard, which is exactly the fused layout it
+    was written for.  ``V`` must divide by the mesh size (the fused
+    ``V*B`` axis then splits voice-chunked); lockstep scalars replicate.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    if cfg.tail is None:
+        # short-IR farm: per-voice lockstep path, GSPMD shards it cleanly
+        return farm2_stream(cfg, state, blocks, tail_mac="jnp",
+                            dft_precision=dft_precision)
+
+    specs = farm2_pspecs(state)
+    x_spec = P(None, "dp", None)
+
+    if head_khat is None:
+        def local(st, x):
+            return farm2_stream(cfg, st, x, tail_mac=tail_mac,
+                                dft_precision=dft_precision)
+
+        mapped = jax.shard_map(
+            local, mesh=mesh,
+            in_specs=(specs, x_spec), out_specs=(specs, x_spec),
+            check_vma=False,
+        )
+        return mapped(state, blocks)
+
+    kh_spec = (P("dp", None, None), P("dp", None, None))
+
+    def local_kh(st, x, kh):
+        return farm2_stream(cfg, st, x, tail_mac=tail_mac,
+                            dft_precision=dft_precision, head_khat=kh)
+
+    mapped = jax.shard_map(
+        local_kh, mesh=mesh,
+        in_specs=(specs, x_spec, kh_spec), out_specs=(specs, x_spec),
+        check_vma=False,
+    )
+    return mapped(state, blocks, head_khat)

@@ -101,18 +101,27 @@ def test_reverb_farm_per_call_ceiling():
     assert isinstance(y, np.ndarray) and y.shape == x.shape
 
 
-def test_reverb_farm_mesh_rejects_pallas():
-    """The Pallas tail kernel has no SPMD rule: pallas+mesh must raise
-    eagerly, and 'auto' must resolve to the jnp core under a mesh."""
+def test_reverb_farm_mesh_pallas_shard_map():
+    """pallas+mesh runs the stream under shard_map (the kernel has no
+    GSPMD rule, so each device steps its local voice shard) and must match
+    the single-device jnp farm; a voice count that does not divide the
+    mesh must raise eagerly."""
     from fft_convolution_tpu.parallel import farm as farm_mod
 
     mesh = farm_mod.make_farm_mesh()
     v = mesh.devices.size
-    irs = np.zeros((v, 9000), np.float32)
-    with pytest.raises(ValueError, match="Pallas"):
-        ReverbFarm(irs, 64, 9000, mesh=mesh, tail_mac="pallas")
-    farm = ReverbFarm(irs, 64, 9000, mesh=mesh, tail_mac="auto")
-    assert farm._tail_mac == "jnp"
+    rng = np.random.default_rng(43)
+    irs = rng.standard_normal((v, 9000)).astype(np.float32) * 0.05
+    with pytest.raises(ValueError, match="divide"):
+        ReverbFarm(irs[: v - 1], 64, 9000, mesh=mesh)
+    farm = ReverbFarm(irs, 64, 9000, mesh=mesh, tail_mac="pallas_interpret")
+    ref = ReverbFarm(irs, 64, 9000, tail_mac="jnp")
+    t = farm.period
+    for _ in range(2):
+        x = rng.standard_normal((t, v, 64)).astype(np.float32)
+        np.testing.assert_allclose(
+            farm.process(x), ref.process(x), atol=1e-5
+        )
 
 
 def test_reverb_farm_on_mesh():
