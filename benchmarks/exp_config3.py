@@ -1,0 +1,60 @@
+"""Experiment: the 30 s two-stage config's per-block cost vs stream length,
+in ONE process / one relay window (same-window A/B — the chip is
+time-shared, cross-run numbers move tens of percent).
+
+run_all's config3 streams T = 2 periods (tail_block=16384 -> period=128
+blocks).  The main tail is a batched uniform stream whose meta-DFT
+amortizes over the number of tail blocks in the call — at T=2p that meta
+dimension is 2, the degenerate worst case.  This measures T = 2p / 4p / 8p
+to see how much of the r3 run_all figure (2,118x, one window) is stream
+length vs contention.
+
+Usage: python -m benchmarks.exp_config3 [--cpu]
+"""
+
+from __future__ import annotations
+
+import functools
+import sys
+
+import numpy as np
+
+if "--cpu" in sys.argv:
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+else:
+    import jax
+
+import jax.numpy as jnp
+
+from benchmarks.configs import SR, _chain_time
+from fft_convolution_tpu.models import two_stage
+
+
+def main() -> None:
+    rng = np.random.default_rng(2)
+    ir = (rng.standard_normal(30 * SR) * 0.005).astype(np.float32)
+    cfg, state = two_stage.init(ir, 128, len(ir))
+    print(f"tail_block={cfg.tail_block} period={cfg.period} blocks", flush=True)
+
+    for mult in (2, 4, 8):
+        t = mult * cfg.period
+        x = jnp.asarray(rng.standard_normal((t, 128)).astype(np.float32))
+        # _chain_time donates its state — give each stream length its own
+        st0 = jax.tree.map(jnp.copy, state)
+        khats = jax.jit(functools.partial(two_stage.stream_khats, cfg),
+                        static_argnums=(1,))(st0, t)
+        wall = _chain_time(
+            lambda st, xs, kh: two_stage.process_stream_aligned(
+                cfg, st, xs, khats=kh),
+            st0, x, aux=khats, samples=2, sample_pause_s=10.0,
+        )
+        audio = t * 128 / SR
+        print(f"T={mult}p ({t:4d} blk): {wall * 1e3:7.3f} ms/stream  "
+              f"xRT {audio / wall:7.0f}  {wall / t * 1e6:6.2f} us/blk",
+              flush=True)
+
+
+if __name__ == "__main__":
+    main()
