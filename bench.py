@@ -53,7 +53,8 @@ _RETRY_PAUSE_S = 45.0
 
 
 def slope_timed(build, c1: int, c2: int, label: str, retries: int = 2,
-                min_slope_s: float = 0.0, samples: int = 1):
+                min_slope_s: float = 0.0, samples: int = 1,
+                sample_pause_s: float = 0.0):
     """Two-point slope with relay-degradation hygiene.
 
     ``build(c)`` returns a nullary callable running a c-long chained
@@ -100,6 +101,10 @@ def slope_timed(build, c1: int, c2: int, label: str, retries: int = 2,
                 f"{min_slope_s*1e6:.2f} us) — pausing {_RETRY_PAUSE_S:.0f} s "
                 f"and re-measuring (attempt {attempt + 1}/{budget})")
             time.sleep(_RETRY_PAUSE_S)
+        elif valid and sample_pause_s and attempt < budget - 1:
+            # contention windows last minutes: back-to-back valid attempts
+            # are correlated, so space them before taking min-per-endpoint
+            time.sleep(sample_pause_s)
     valid_list = [a for a in attempts if not a[0]]
     if valid_list:
         t_1 = min(a[3] for a in valid_list)
@@ -379,7 +384,8 @@ def main() -> None:
     # floor: a full 2048-block stream moves >150 MB through HBM — a slope
     # under 0.2 ms/stream is physically impossible (link noise artifact)
     wall, (t_1, t_2) = slope_timed(build_stream_runner, c1, c2, "stream xRT",
-                                   samples=3, min_slope_s=2e-4)
+                                   samples=4, min_slope_s=2e-4,
+                                   sample_pause_s=30.0)
     audio = t_blocks * block / sr
     xrt = audio / wall
     log(f"stream: {wall*1e3:.3f} ms device time per {audio:.2f} s audio "
@@ -472,7 +478,7 @@ def main() -> None:
 
         pal_slope, _raw = slope_timed(
             build_pallas_runner, n1, n2, "pallas latency", min_slope_s=2e-6,
-            samples=3,
+            samples=3, sample_pause_s=20.0,
         )
         p50_pallas = pal_slope * 1e3
         if p50_pallas < 0.002:  # below the physical floor: window failed
@@ -511,7 +517,7 @@ def main() -> None:
 
         pk_slope, _raw = slope_timed(
             build_packed_runner, n1, n2, "pallas packed latency",
-            min_slope_s=1e-6, samples=3,
+            min_slope_s=1e-6, samples=3, sample_pause_s=20.0,
         )
         if pk_slope * 1e3 >= 0.001:
             p50_packed = pk_slope * 1e3
