@@ -158,7 +158,10 @@ def config3_two_stage_30s():
     rng = np.random.default_rng(2)
     ir = (rng.standard_normal(30 * SR) * 0.005).astype(np.float32)
     cfg, state = two_stage.init(ir, 128, len(ir))
-    t = 2 * cfg.period
+    # throughput batch comparable to the flagship's (~2.7 s audio/dispatch):
+    # per-stream fixed cost amortizes over tail periods — exp_config3
+    # measured 1.30/0.91/0.66 us/blk at T=2p/4p/8p in one window
+    t = 8 * cfg.period
     x = jnp.asarray(rng.standard_normal((t, 128)).astype(np.float32))
     import jax
 
