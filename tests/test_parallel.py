@@ -649,6 +649,40 @@ def test_farm2_bf16_update_packed_table():
     assert np.max(np.abs(np.asarray(y_b) - np.asarray(y_f))) < 2e-2 * scale
 
 
+def test_farm2_stream_sharded_packed_pallas():
+    """The shard_map stream (farm2_stream_sharded) with PACKED bf16 tail
+    storage and the Pallas MAC (interpret): the rank-2 uint32 table's
+    fused V*B axis shards voice-chunked (farm2_pspecs' P(None, 'dp')),
+    each device's kernel stepping its local shard — must track the
+    unsharded jnp bf16 farm exactly (same state, same arithmetic)."""
+    from fft_convolution_tpu.parallel import farm2
+
+    rng = np.random.default_rng(44)
+    v, b = 8, 64
+    ir_len = 9000
+    irs = rng.standard_normal((v, ir_len)).astype(np.float32) * 0.05
+    cfg, state = farm2.farm2_init(irs, b, ir_len, tail_dtype=jnp.bfloat16)
+    assert state.tail.segments.ndim == 2  # plane-packed uint32 path
+    t = 2 * cfg.period
+    x = rng.standard_normal((2 * t, v, b)).astype(np.float32)
+
+    run_ref = jax.jit(functools.partial(farm2.farm2_stream, cfg))
+    state_ref = jax.tree.map(jnp.copy, state)
+    state_ref, y_ref1 = run_ref(state_ref, jnp.asarray(x[:t]))
+    _, y_ref2 = run_ref(state_ref, jnp.asarray(x[t:]))
+
+    mesh = farm.make_farm_mesh()
+    run_sm = jax.jit(functools.partial(
+        farm2.farm2_stream_sharded, mesh, cfg, tail_mac="pallas_interpret"
+    ))
+    sstate = farm2.farm2_shard(mesh, state)
+    sstate, y1 = run_sm(sstate, jnp.asarray(x[:t]))
+    _, y2 = run_sm(sstate, jnp.asarray(x[t:]))
+
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y_ref1), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(y2), np.asarray(y_ref2), atol=1e-5)
+
+
 def test_uniform_farm_memory_ceiling():
     """A uniform farm that cannot fit one chip must raise eagerly with a
     pointer to the two-stage ReverbFarm, not OOM mid-init."""
