@@ -75,28 +75,31 @@ def main() -> None:
             return (st_h2, st_t02), y
 
         heads0 = jax.tree.map(jnp.copy, (state.head, state.tail0))
-        outs[prec] = np.asarray(
-            jax.jit(combined)(heads0, x, khat)[1]
-        )
+        # keep the head output ON DEVICE: the divergence is fetched as a
+        # scalar at the end (bulk device->host fetches crawl via the relay)
+        outs[prec] = jax.jit(combined)(heads0, x, khat)[1]
+        del heads0
         wall_h, _ = slope_time_threaded(
             combined, jax.tree.map(jnp.copy, (state.head, state.tail0)),
             x, aux=khat,
         )
-        wall_f, _ = slope_time_threaded(
+        # THREAD the multi-GB farm state through the arms instead of
+        # copying per arm (timing needs no pristine state; an f32 V=128
+        # state exists twice otherwise and OOMs the 16 GB chip)
+        wall_f, state = slope_time_threaded(
             lambda st, xs, kh, prec=prec: farm2.farm2_stream(
                 cfg, st, xs, tail_mac=mac, dft_precision=prec, head_khat=kh
             ),
-            jax.tree.map(jnp.copy, state), x, aux=khat,
+            state, x, aux=khat,
         )
         print(f"prec={prec:8s}: heads {wall_h*1e3:7.2f} ms   "
               f"full {wall_f*1e3:7.2f} ms  "
               f"rt_voices={audio/wall_f*voices:7.0f}", flush=True)
 
-    scale = max(np.abs(outs["highest"]).max(), 1e-30)
+    scale = float(jnp.maximum(jnp.max(jnp.abs(outs["highest"])), 1e-30))
+    div = float(jnp.max(jnp.abs(outs["high"] - outs["highest"])))
     print(f"head output divergence high vs highest: "
-          f"{np.abs(outs['high'] - outs['highest']).max():.3e} abs, "
-          f"{np.abs(outs['high'] - outs['highest']).max() / scale:.3e} rel",
-          flush=True)
+          f"{div:.3e} abs, {div / scale:.3e} rel", flush=True)
 
 
 if __name__ == "__main__":

@@ -51,6 +51,17 @@ class ReverbFarm:
         plane-packed uint32 words (ops/packing.py).
     tail_mac : "auto" (Pallas step kernel on TPU, jnp core elsewhere),
         "pallas", "pallas_interpret", or "jnp".
+    tail_dft_precision : precision spec for the big tail's forward /
+        inverse block DFTs — "auto" (default) resolves to ``"highest"``:
+        on the headline V=128/60 s shape the ``"bf16"`` mode (bf16
+        matmul operands, ops/fft._mm_mode) MEASURED ~6% slower despite
+        6x fewer MXU passes — those DFT stages are memory-bound and the
+        extra operand casts cost more than the passes save
+        (benchmarks/exp_taildft, 2026-08-18: 24.7 vs 23.3 ms).  The knob
+        stays for other shapes; any explicit
+        :data:`parallel.farm2._PRECISIONS` key is accepted.  Head stages
+        always run at "highest" — the early response is the parity
+        story.
     mesh : optional ``jax.sharding.Mesh`` with a ``"dp"`` axis — the
         state shards over voices (``V`` must divide by the mesh size).
         Composes with the Pallas tail kernel: the stream then runs under
@@ -61,7 +72,7 @@ class ReverbFarm:
 
     def __init__(self, irs, block_size: int, max_response_length: int,
                  *, tail_dtype=jnp.float32, tail_mac: str = "auto",
-                 mesh=None):
+                 tail_dft_precision: str = "auto", mesh=None):
         irs = np.asarray(irs, np.float32)
         if irs.ndim != 2:
             raise ValueError("irs must be [voices, ir_len]")
@@ -72,6 +83,14 @@ class ReverbFarm:
             tail_mac = (
                 "pallas" if jax.devices()[0].platform == "tpu" else "jnp"
             )
+        if tail_dft_precision == "auto":
+            tail_dft_precision = "highest"
+        if tail_dft_precision not in farm2._PRECISIONS:
+            raise ValueError(
+                f"tail_dft_precision {tail_dft_precision!r} not one of "
+                f"{sorted(farm2._PRECISIONS)} (or 'auto')"
+            )
+        self._tail_dft_precision = tail_dft_precision
         if mesh is not None and "dp" not in mesh.axis_names:
             raise ValueError("farm mesh needs a 'dp' axis")
         if mesh is not None and irs.shape[0] % mesh.size != 0:
@@ -112,10 +131,12 @@ class ReverbFarm:
             stream_fn = functools.partial(
                 farm2.farm2_stream_sharded, mesh, self.cfg,
                 tail_mac=tail_mac,
+                tail_dft_precision=tail_dft_precision,
             )
         else:
             stream_fn = functools.partial(
-                farm2.farm2_stream, self.cfg, tail_mac=tail_mac
+                farm2.farm2_stream, self.cfg, tail_mac=tail_mac,
+                tail_dft_precision=tail_dft_precision,
             )
         self._stream = jax.jit(stream_fn, donate_argnums=(0,))
         self._update = jax.jit(

@@ -39,6 +39,32 @@ import numpy as np
 _DIRECT_MAX = 1024
 
 
+def _mm_mode(precision):
+    """Resolve a transform precision spec into
+    ``(lax_matmul_precision, operand_dtype)``.
+
+    ``precision`` is a ``jax.lax.Precision`` (operands stay f32;
+    HIGHEST is the parity-exact default) or the string ``"bf16"``:
+    operands, DFT matrices, and stage intermediates are cast to
+    bfloat16 — ONE MXU pass per matmul instead of HIGHEST's six and
+    half the inter-stage traffic, at ~1e-3 relative accuracy.  That is
+    the same tier as the farm's plane-packed bf16 tail storage
+    (``ops/packing.py``), its intended consumer: an opt-in throughput
+    mode for reverb-tail content, never the default (the 1e-6 parity
+    tests pin HIGHEST)."""
+    if precision == "bf16":
+        return jax.lax.Precision.DEFAULT, jnp.bfloat16
+    return precision, None
+
+
+def _opcast(a: jnp.ndarray, od) -> jnp.ndarray:
+    """Cast a matmul operand / stage intermediate for :func:`_mm_mode`'s
+    dtype (no-op in the f32 modes).  XLA fuses the convert into the
+    operand read, so f32 producers feeding bf16 matmuls cost nothing
+    extra; materialized bf16 intermediates halve their HBM bytes."""
+    return a if od is None else a.astype(od)
+
+
 def complex_size(size: int) -> int:
     """Number of rFFT bins for a real transform of length ``size``
     (``complex_size``, ``src/fft_convolver.rs:52-54``).  The packed layout
@@ -130,9 +156,10 @@ def _twiddles(n: int, sign: float) -> tuple[np.ndarray, np.ndarray]:
 # ---------------------------------------------------------------------------
 
 def _irdft_direct(p: jnp.ndarray, n: int, precision=jax.lax.Precision.HIGHEST) -> jnp.ndarray:
-    basis = jnp.asarray(_irdft_basis(n))
-    flat = p.reshape(p.shape[:-2] + (n,))
-    return jnp.matmul(flat, basis, preferred_element_type=jnp.float32, precision=precision)
+    hp, od = _mm_mode(precision)
+    basis = _opcast(jnp.asarray(_irdft_basis(n)), od)
+    flat = _opcast(p.reshape(p.shape[:-2] + (n,)), od)
+    return jnp.matmul(flat, basis, preferred_element_type=jnp.float32, precision=hp)
 
 
 def _dft4_real(x: jnp.ndarray, n: int, precision=jax.lax.Precision.HIGHEST) -> tuple[jnp.ndarray, jnp.ndarray]:
@@ -147,28 +174,29 @@ def _dft4_real(x: jnp.ndarray, n: int, precision=jax.lax.Precision.HIGHEST) -> t
     real input (2 matmuls instead of 4); everything lands on the MXU.
     """
     n1, n2 = _split_factors(n)
+    hp, od = _mm_mode(precision)
     batch = x.shape[:-1]
     length = x.shape[-1]
     rows = -(-length // n1)
     if rows * n1 != length:
         x = copy_and_pad(x, rows * n1)
-    a = x.reshape(batch + (rows, n1))                     # A[i2, i1]
-    c2, s2 = (jnp.asarray(np.ascontiguousarray(m[:, :rows]))
+    a = _opcast(x.reshape(batch + (rows, n1)), od)        # A[i2, i1]
+    c2, s2 = (_opcast(jnp.asarray(np.ascontiguousarray(m[:, :rows])), od)
               for m in _dft_mats(n2, -1.0))
     # stage 1: DFT_n2 along (the live rows of) i2 -> G[k2, i1]
-    g_re = jnp.einsum("ki,...ij->...kj", c2, a, preferred_element_type=jnp.float32, precision=precision)
-    g_im = jnp.einsum("ki,...ij->...kj", s2, a, preferred_element_type=jnp.float32, precision=precision)
+    g_re = jnp.einsum("ki,...ij->...kj", c2, a, preferred_element_type=jnp.float32, precision=hp)
+    g_im = jnp.einsum("ki,...ij->...kj", s2, a, preferred_element_type=jnp.float32, precision=hp)
     # stage 2: twiddle w^(i1*k2)
     t_re, t_im = (jnp.asarray(m) for m in _twiddles(n, -1.0))
-    h_re = g_re * t_re - g_im * t_im
-    h_im = g_re * t_im + g_im * t_re
+    h_re = _opcast(g_re * t_re - g_im * t_im, od)
+    h_im = _opcast(g_re * t_im + g_im * t_re, od)
     # stage 3: DFT_n1 along i1 -> Y[k2, k1]
-    c1, s1 = (jnp.asarray(m) for m in _dft_mats(n1, -1.0))
-    y_re = jnp.matmul(h_re, c1, preferred_element_type=jnp.float32, precision=precision) - jnp.matmul(
-        h_im, s1, preferred_element_type=jnp.float32, precision=precision
+    c1, s1 = (_opcast(jnp.asarray(m), od) for m in _dft_mats(n1, -1.0))
+    y_re = jnp.matmul(h_re, c1, preferred_element_type=jnp.float32, precision=hp) - jnp.matmul(
+        h_im, s1, preferred_element_type=jnp.float32, precision=hp
     )
-    y_im = jnp.matmul(h_re, s1, preferred_element_type=jnp.float32, precision=precision) + jnp.matmul(
-        h_im, c1, preferred_element_type=jnp.float32, precision=precision
+    y_im = jnp.matmul(h_re, s1, preferred_element_type=jnp.float32, precision=hp) + jnp.matmul(
+        h_im, c1, preferred_element_type=jnp.float32, precision=hp
     )
     # X[k1*n2 + k2] = Y[k2, k1]
     re = jnp.swapaxes(y_re, -1, -2).reshape(batch + (n,))
@@ -196,25 +224,26 @@ def _cidft4_real(re: jnp.ndarray, im: jnp.ndarray, m: int,
     farm's compiled stream (benchmarks/exp_cost)."""
     batch = re.shape[:-1]
     n1, n2 = _split_factors(m)
-    a_re = re.reshape(batch + (n2, n1))
-    a_im = im.reshape(batch + (n2, n1))
-    c2, s2 = (jnp.asarray(x) for x in _dft_mats(n2, 1.0))
+    hp, od = _mm_mode(precision)
+    a_re = _opcast(re.reshape(batch + (n2, n1)), od)
+    a_im = _opcast(im.reshape(batch + (n2, n1)), od)
+    c2, s2 = (_opcast(jnp.asarray(x), od) for x in _dft_mats(n2, 1.0))
 
     def mm(mat, arr):
         return jnp.einsum("ki,...ij->...kj", mat, arr,
                           preferred_element_type=jnp.float32,
-                          precision=precision)
+                          precision=hp)
 
     g_re = mm(c2, a_re) - mm(s2, a_im)
     g_im = mm(c2, a_im) + mm(s2, a_re)
     t_re, t_im = (jnp.asarray(x) for x in _twiddles(m, 1.0))
-    h_re = g_re * t_re - g_im * t_im
-    h_im = g_re * t_im + g_im * t_re
-    c1, s1 = (jnp.asarray(np.float32(scale) * x)
+    h_re = _opcast(g_re * t_re - g_im * t_im, od)
+    h_im = _opcast(g_re * t_im + g_im * t_re, od)
+    c1, s1 = (_opcast(jnp.asarray(np.float32(scale) * x), od)
               for x in _dft_mats(n1, 1.0))
     y_re = jnp.matmul(h_re, c1, preferred_element_type=jnp.float32,
-                      precision=precision) - jnp.matmul(
-        h_im, s1, preferred_element_type=jnp.float32, precision=precision
+                      precision=hp) - jnp.matmul(
+        h_im, s1, preferred_element_type=jnp.float32, precision=hp
     )
     return jnp.swapaxes(y_re, -1, -2).reshape(batch + (m,))
 
@@ -271,10 +300,10 @@ def _cdft4_axis2(re: jnp.ndarray, im: jnp.ndarray, m: int, sign: float,
     n1, n2 = _split_factors(m)
     batch = re.shape[:-2]
     lanes = re.shape[-1]
-    a_re = re.reshape(batch + (n2, n1, lanes))
-    a_im = im.reshape(batch + (n2, n1, lanes))
-    c2, s2 = (jnp.asarray(x) for x in _dft_mats(n2, sign))
-    hp = precision
+    hp, od = _mm_mode(precision)
+    a_re = _opcast(re.reshape(batch + (n2, n1, lanes)), od)
+    a_im = _opcast(im.reshape(batch + (n2, n1, lanes)), od)
+    c2, s2 = (_opcast(jnp.asarray(x), od) for x in _dft_mats(n2, sign))
 
     def mm2(mat, arr):  # contract the n2 axis: [k2,i2] x [..., i2, i1, L]
         return jnp.einsum("ki,...ijl->...kjl", mat, arr,
@@ -283,9 +312,9 @@ def _cdft4_axis2(re: jnp.ndarray, im: jnp.ndarray, m: int, sign: float,
     g_re = mm2(c2, a_re) - mm2(s2, a_im)
     g_im = mm2(c2, a_im) + mm2(s2, a_re)
     t_re, t_im = (jnp.asarray(x)[..., None] for x in _twiddles(m, sign))
-    h_re = g_re * t_re - g_im * t_im
-    h_im = g_re * t_im + g_im * t_re
-    c1m, s1m = (jnp.asarray(np.float32(scale) * x)
+    h_re = _opcast(g_re * t_re - g_im * t_im, od)
+    h_im = _opcast(g_re * t_im + g_im * t_re, od)
+    c1m, s1m = (_opcast(jnp.asarray(np.float32(scale) * x), od)
                 for x in _dft_mats(n1, sign))
 
     def mm1(mat, arr):  # contract the n1 axis: [..., k2, i1, L] x [i1, k1]
@@ -437,11 +466,13 @@ def rdft_block(x: jnp.ndarray, fft_size: int,
             f"input length {x.shape[-1]} exceeds fft_size {fft_size}"
         )
     if fft_size <= _DIRECT_MAX:
-        basis = jnp.asarray(
+        hp, od = _mm_mode(precision)
+        basis = _opcast(jnp.asarray(
             np.ascontiguousarray(_rdft_basis(fft_size)[: x.shape[-1]])
-        )
-        packed = jnp.matmul(x, basis, preferred_element_type=jnp.float32,
-                            precision=precision)
+        ), od)
+        packed = jnp.matmul(_opcast(x, od), basis,
+                            preferred_element_type=jnp.float32,
+                            precision=hp)
         return packed.reshape(x.shape[:-1] + (2, fft_size // 2))
     return _rdft_4step(x, fft_size, precision)
 

@@ -721,6 +721,11 @@ _PRECISIONS = {
     "highest": jax.lax.Precision.HIGHEST,
     "high": jax.lax.Precision.HIGH,
     "default": jax.lax.Precision.DEFAULT,
+    # bf16 operands/intermediates in the DFT matmul stages (ops/fft.py
+    # _mm_mode): one MXU pass instead of HIGHEST's six and half the
+    # inter-stage traffic, ~1e-3 relative — the same accuracy tier as
+    # the plane-packed bf16 tail storage, its intended pairing
+    "bf16": "bf16",
 }
 
 
@@ -729,6 +734,7 @@ def farm2_stream(cfg: two_stage.TwoStageConfig, state: two_stage.TwoStageState,
                  tail_mac: str = "jnp",
                  dft_precision: str = "highest",
                  head_khat=None,
+                 tail_dft_precision: str | None = None,
                  ) -> Tuple[two_stage.TwoStageState, jnp.ndarray]:
     """Stream ``blocks [T, V, B]`` -> ``[T, V, B]``; requires period-aligned
     state (fresh or after period-multiple streams) and ``T % period == 0``.
@@ -744,6 +750,15 @@ def farm2_stream(cfg: two_stage.TwoStageConfig, state: two_stage.TwoStageState,
     ``head_khat``: optional precomputed :func:`farm2_head_khat` for this
     call's ``T`` — hoists the input-independent kernel meta-DFT out of the
     head MAC (recompute it after :func:`farm2_update`).
+
+    ``tail_dft_precision``: precision spec for the BIG TAIL's forward /
+    inverse block DFTs only (defaults to ``dft_precision``).  ``"bf16"``
+    pairs with ``tail_dtype=bfloat16`` storage: the tail contribution
+    already carries ~1e-3 relative, so running its rdft/irdft matmuls on
+    bf16 operands costs no output tier while cutting their MXU passes
+    6x.  The head stages keep their own precision (the early response
+    carries the direct sound — its accuracy is the engine's parity
+    story).
     """
     if cfg.tail is None:
         # short-IR farm (<= 2 tail blocks): no big tail to batch specially
@@ -793,9 +808,10 @@ def farm2_stream(cfg: two_stage.TwoStageConfig, state: two_stage.TwoStageState,
 
     # big tail: two-period delay, fused-voice phased correlation core
     # (tail_mac="pallas" for the single-pass TPU MAC kernel)
+    tprec = _PRECISIONS[tail_dft_precision or dft_precision]
     big_rows = jnp.swapaxes(vx.reshape(v, q, tb), 0, 1)  # [q, V, tb]
     tail_state, out_t = _tail_corr_phased_fused(
-        cfg.tail, state.tail, big_rows, mac=tail_mac, precision=prec
+        cfg.tail, state.tail, big_rows, mac=tail_mac, precision=tprec
     )
     out_tv = jnp.swapaxes(out_t, 0, 1)                   # [V, q, tb]
     heads_ = [state.tail_precalc[:, None], state.tail_output[:, None]]
@@ -874,6 +890,7 @@ def farm2_stream_sharded(mesh, cfg: two_stage.TwoStageConfig,
                          tail_mac: str = "pallas",
                          dft_precision: str = "highest",
                          head_khat=None,
+                         tail_dft_precision: str | None = None,
                          ) -> Tuple[two_stage.TwoStageState, jnp.ndarray]:
     """:func:`farm2_stream` under ``shard_map`` over the mesh's ``'dp'``
     axis — pure data parallelism, zero collectives in the audio path: each
@@ -900,7 +917,8 @@ def farm2_stream_sharded(mesh, cfg: two_stage.TwoStageConfig,
     if head_khat is None:
         def local(st, x):
             return farm2_stream(cfg, st, x, tail_mac=tail_mac,
-                                dft_precision=dft_precision)
+                                dft_precision=dft_precision,
+                                tail_dft_precision=tail_dft_precision)
 
         mapped = jax.shard_map(
             local, mesh=mesh,
@@ -913,7 +931,8 @@ def farm2_stream_sharded(mesh, cfg: two_stage.TwoStageConfig,
 
     def local_kh(st, x, kh):
         return farm2_stream(cfg, st, x, tail_mac=tail_mac,
-                            dft_precision=dft_precision, head_khat=kh)
+                            dft_precision=dft_precision, head_khat=kh,
+                            tail_dft_precision=tail_dft_precision)
 
     mapped = jax.shard_map(
         local_kh, mesh=mesh,

@@ -294,6 +294,45 @@ def test_farm2_bf16_tail_close_to_f32():
     np.testing.assert_allclose(y_p, y_b, atol=1e-5)
 
 
+def test_farm2_bf16_tail_dft_precision():
+    """tail_dft_precision="bf16" (bf16 operands in the big tail's forward/
+    inverse block DFT matmuls, ops/fft._mm_mode) stays in the same ~1e-3
+    accuracy tier as the packed bf16 storage it pairs with, and leaves the
+    head stages bit-exact (they carry the direct sound).  Measured on this
+    seed: storage-only 1.8e-3 rel, storage+bf16 DFTs 4.3e-3 rel."""
+    from fft_convolution_tpu.parallel import farm2
+
+    rng = np.random.default_rng(29)
+    v, b = 3, 128
+    sr = 4000
+    ir_len = 8 * sr
+    irs = rng.standard_normal((v, ir_len)).astype(np.float32) * 0.01
+
+    cfg, state_f = farm2.farm2_init(irs, b, ir_len)
+    _, state_b = farm2.farm2_init(irs, b, ir_len, tail_dtype=jnp.bfloat16)
+    t = 2 * cfg.period
+    xs = rng.standard_normal((4, t, v, b)).astype(np.float32)
+
+    run_f = jax.jit(functools.partial(farm2.farm2_stream, cfg))
+    run_b = jax.jit(functools.partial(
+        farm2.farm2_stream, cfg, tail_dft_precision="bf16"
+    ))
+    ys_f, ys_b = [], []
+    sf, sb = state_f, state_b
+    for x in xs:
+        sf, yf = run_f(sf, jnp.asarray(x))
+        sb, yb = run_b(sb, jnp.asarray(x))
+        ys_f.append(np.asarray(yf))
+        ys_b.append(np.asarray(yb))
+    y_f = np.concatenate(ys_f)
+    y_b = np.concatenate(ys_b)
+    scale = np.max(np.abs(y_f))
+    assert np.max(np.abs(y_b - y_f)) < 1e-2 * scale
+    # the first two periods have no tail contribution (two-period delay):
+    # head+tail0 run at full precision regardless of the tail knob
+    np.testing.assert_allclose(ys_b[0], ys_f[0], atol=1e-5 * scale)
+
+
 def test_farm2_update_batched():
     """Batched farm IR swap at a period boundary: every voice must match a
     standalone two-stage engine's update_extension (the farm keeps rings
