@@ -183,6 +183,208 @@ def _unpack_words(w):
     return re, im
 
 
+def _kernel_v2(n: int, t_blocks: int, b_voice: int, l: int, sub: int,
+               q_ref,                       # SMEM in
+               u_ref,                       # VMEM in ([2N, L] planes-folded)
+               specs_ref,                   # VMEM in (pipelined [T, 2, L])
+               ext2_hbm,                    # ANY in (HBM table)
+               out_ref,                     # VMEM out ([T, 2, L])
+               pre_ref,                     # VMEM out ([2, L])
+               wr_buf, wi_buf, khr_buf, khi_buf, sem):  # scratch
+    """VPU-lean variant of :func:`_kernel` (same DMA schedule, same math):
+
+    * the DC-lane masks ``m0``/``m1`` are row-independent, so they factor
+      OUT of the ``[n, l]`` reductions — three plain product sums
+      (``S1 = Σ ur·wr``, ``S2 = Σ ui·wi``, ``S3 = Σ (ur·wi + ui·wr)``)
+      and an O(l) postfix replace per-element mask multiplies (v1 spent
+      ~12 VPU ops/element; this spends 8);
+    * each correction's ring row comes from a dynamic single-row read of
+      the resident ring block (``u_ref[pl.ds(row_s, 1)]`` — the pattern
+      ``ops/pallas_engine.py`` serves with) instead of an O(n·l)
+      mask-reduction pass per (t, s) term, which at T=2 cost MORE VPU
+      work than the main MAC itself.  The ring ref is planes-FOLDED
+      ``[2N, L]`` because Mosaic's dynamic sublane loads want 2-D refs
+      (module docstring): plane p row r lives at row ``p*n + r``.
+    """
+    j = pl.program_id(0)
+    nj = pl.num_programs(0)
+    rows = _window_rows(n, t_blocks, sub)
+    q = q_ref[0]
+    q0 = (q // sub) * sub
+    d = q - q0
+
+    def window_copy(jj, slot, plane, buf):
+        return pltpu.make_async_copy(
+            ext2_hbm.at[plane, pl.ds(q0, rows), pl.ds(jj * l, l)],
+            buf.at[pl.ds(slot * rows, rows)],
+            sem.at[slot, plane],
+        )
+
+    def khead_copy(jj, slot, plane, buf):
+        return pltpu.make_async_copy(
+            ext2_hbm.at[plane, pl.ds(0, sub), pl.ds(jj * l, l)],
+            buf.at[pl.ds(slot * sub, sub)],
+            sem.at[slot, 2 + plane],
+        )
+
+    def start(jj, slot):
+        window_copy(jj, slot, 0, wr_buf).start()
+        window_copy(jj, slot, 1, wi_buf).start()
+        khead_copy(jj, slot, 0, khr_buf).start()
+        khead_copy(jj, slot, 1, khi_buf).start()
+
+    slot = jax.lax.rem(j, 2)
+
+    @pl.when(j == 0)
+    def _():
+        start(0, 0)
+
+    @pl.when(j + 1 < nj)
+    def _():
+        start(j + 1, jax.lax.rem(j + 1, 2))
+
+    window_copy(j, slot, 0, wr_buf).wait()
+    window_copy(j, slot, 1, wi_buf).wait()
+    khead_copy(j, slot, 0, khr_buf).wait()
+    khead_copy(j, slot, 1, khi_buf).wait()
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, l), 1)[0] + j * l
+    m0 = (jax.lax.rem(lane, b_voice) == 0).astype(jnp.float32)
+    m1 = 1.0 - m0
+
+    shift = rows - d  # == roll by -d, kept non-negative
+    w_re = pltpu.roll(
+        wr_buf[pl.ds(slot * rows, rows), :].astype(jnp.float32), shift, axis=0
+    )
+    w_im = pltpu.roll(
+        wi_buf[pl.ds(slot * rows, rows), :].astype(jnp.float32), shift, axis=0
+    )
+    kh_re = khr_buf[pl.ds(slot * sub, sub), :].astype(jnp.float32)
+    kh_im = khi_buf[pl.ds(slot * sub, sub), :].astype(jnp.float32)
+
+    ur = u_ref[pl.ds(0, n), :].astype(jnp.float32)
+    ui = u_ref[pl.ds(n, n), :].astype(jnp.float32)
+    for t in range(t_blocks):
+        wr = jax.lax.slice_in_dim(w_re, t, t + n, axis=0)
+        wi = jax.lax.slice_in_dim(w_im, t, t + n, axis=0)
+        s1 = jnp.sum(ur * wr, axis=0)
+        s2 = jnp.sum(ui * wi, axis=0)
+        s3 = jnp.sum(ur * wi + ui * wr, axis=0)
+        re = s1 - s2 * m1
+        im = s3 * m1 + s2 * m0
+        for s in range(t + 1):
+            # double-rem: n - q - s can go negative for larger T and
+            # lax.rem keeps the sign (jnp.mod semantics needed)
+            row_s = jax.lax.rem(jax.lax.rem(n - q - s, n) + n, n)
+            ur_s = u_ref[pl.ds(row_s, 1), :].astype(jnp.float32)[0]
+            ui_s = u_ref[pl.ds(n + row_s, 1), :].astype(jnp.float32)[0]
+            dre = specs_ref[s, 0, :] - ur_s
+            dim = specs_ref[s, 1, :] - ui_s
+            kr = kh_re[t - s]
+            ki = kh_im[t - s]
+            crossd = dim * ki
+            re = re + dre * kr - crossd * m1
+            im = im + (dre * ki + dim * kr) * m1 + crossd * m0
+        out_ref[t, 0, :] = re
+        out_ref[t, 1, :] = im
+        if t == t_blocks - 1:
+            sr = specs_ref[t, 0, :]
+            si = specs_ref[t, 1, :]
+            cross0 = si * kh_im[0]
+            pre_ref[0, :] = re - (sr * kh_re[0] - cross0 * m1)
+            pre_ref[1, :] = im - ((sr * kh_im[0] + si * kh_re[0]) * m1
+                                  + cross0 * m0)
+
+
+def _kernel_packed_v2(n: int, t_blocks: int, b_voice: int, l: int, sub: int,
+                      q_ref,                      # SMEM in
+                      u_ref,                      # VMEM in ([N, L] u32 block)
+                      specs_ref,                  # VMEM in ([T, 2, L] f32)
+                      ext2_hbm,                   # ANY in ([R, VB] u32 table)
+                      out_ref,                    # VMEM out ([T, 2, L])
+                      pre_ref,                    # VMEM out ([2, L])
+                      w_buf, kh_buf, sem):        # scratch
+    """Packed-storage variant of :func:`_kernel_v2` — see its docstring
+    for what changed vs v1 (mask factoring + direct correction-row
+    reads; the packed ring ref is already 2-D)."""
+    j = pl.program_id(0)
+    nj = pl.num_programs(0)
+    rows = _window_rows(n, t_blocks, sub)
+    q = q_ref[0]
+    q0 = (q // sub) * sub
+    d = q - q0
+
+    def window_copy(jj, slot):
+        return pltpu.make_async_copy(
+            ext2_hbm.at[pl.ds(q0, rows), pl.ds(jj * l, l)],
+            w_buf.at[pl.ds(slot * rows, rows)],
+            sem.at[slot, 0],
+        )
+
+    def khead_copy(jj, slot):
+        return pltpu.make_async_copy(
+            ext2_hbm.at[pl.ds(0, sub), pl.ds(jj * l, l)],
+            kh_buf.at[pl.ds(slot * sub, sub)],
+            sem.at[slot, 1],
+        )
+
+    def start(jj, slot):
+        window_copy(jj, slot).start()
+        khead_copy(jj, slot).start()
+
+    slot = jax.lax.rem(j, 2)
+
+    @pl.when(j == 0)
+    def _():
+        start(0, 0)
+
+    @pl.when(j + 1 < nj)
+    def _():
+        start(j + 1, jax.lax.rem(j + 1, 2))
+
+    window_copy(j, slot).wait()
+    khead_copy(j, slot).wait()
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, l), 1)[0] + j * l
+    m0 = (jax.lax.rem(lane, b_voice) == 0).astype(jnp.float32)
+    m1 = 1.0 - m0
+
+    shift = rows - d
+    w_re, w_im = _unpack_words(
+        pltpu.roll(w_buf[pl.ds(slot * rows, rows), :], shift, axis=0)
+    )
+    kh_re, kh_im = _unpack_words(kh_buf[pl.ds(slot * sub, sub), :])
+    ur, ui = _unpack_words(u_ref[:])
+
+    for t in range(t_blocks):
+        wr = jax.lax.slice_in_dim(w_re, t, t + n, axis=0)
+        wi = jax.lax.slice_in_dim(w_im, t, t + n, axis=0)
+        s1 = jnp.sum(ur * wr, axis=0)
+        s2 = jnp.sum(ui * wi, axis=0)
+        s3 = jnp.sum(ur * wi + ui * wr, axis=0)
+        re = s1 - s2 * m1
+        im = s3 * m1 + s2 * m0
+        for s in range(t + 1):
+            row_s = jax.lax.rem(jax.lax.rem(n - q - s, n) + n, n)
+            ur_s, ui_s = _unpack_words(u_ref[pl.ds(row_s, 1), :])
+            dre = specs_ref[s, 0, :] - ur_s[0]
+            dim = specs_ref[s, 1, :] - ui_s[0]
+            kr = kh_re[t - s]
+            ki = kh_im[t - s]
+            crossd = dim * ki
+            re = re + dre * kr - crossd * m1
+            im = im + (dre * ki + dim * kr) * m1 + crossd * m0
+        out_ref[t, 0, :] = re
+        out_ref[t, 1, :] = im
+        if t == t_blocks - 1:
+            sr = specs_ref[t, 0, :]
+            si = specs_ref[t, 1, :]
+            cross0 = si * kh_im[0]
+            pre_ref[0, :] = re - (sr * kh_re[0] - cross0 * m1)
+            pre_ref[1, :] = im - ((sr * kh_im[0] + si * kh_re[0]) * m1
+                                  + cross0 * m0)
+
+
 def _kernel_packed(n: int, t_blocks: int, b_voice: int, l: int, sub: int,
                    q_ref,                      # SMEM in
                    u_ref,                      # VMEM in ([N, L] u32 block)
@@ -276,14 +478,16 @@ def _kernel_packed(n: int, t_blocks: int, b_voice: int, l: int, sub: int,
 
 @functools.lru_cache(maxsize=None)
 def _build_call(n: int, rows_total: int, vb: int, t_blocks: int,
-                b_voice: int, l: int, dtype_name: str, interpret: bool):
+                b_voice: int, l: int, dtype_name: str, interpret: bool,
+                variant: str = "v2"):
     dtype = jnp.dtype(dtype_name)
     grid = (vb // l,)
     if dtype == jnp.uint32:  # plane-packed bf16 storage
         sub = 8
         rows = _window_rows(n, t_blocks, sub)
+        body = _kernel_packed_v2 if variant == "v2" else _kernel_packed
         return pl.pallas_call(
-            functools.partial(_kernel_packed, n, t_blocks, b_voice, l, sub),
+            functools.partial(body, n, t_blocks, b_voice, l, sub),
             grid=grid,
             out_shape=(
                 jax.ShapeDtypeStruct((t_blocks, 2, vb), jnp.float32),
@@ -310,8 +514,15 @@ def _build_call(n: int, rows_total: int, vb: int, t_blocks: int,
             ),
         )
     sub = 16 if dtype.itemsize == 2 else 8
-    kernel = functools.partial(_kernel, n, t_blocks, b_voice, l, sub)
     rows = _window_rows(n, t_blocks, sub)
+    if variant == "v2":
+        # v2 takes the ring planes-FOLDED [2N, VB] (2-D ref for the
+        # dynamic correction-row reads — module docstring)
+        kernel = functools.partial(_kernel_v2, n, t_blocks, b_voice, l, sub)
+        u_spec = pl.BlockSpec((2 * n, l), lambda j: (0, j))
+    else:
+        kernel = functools.partial(_kernel, n, t_blocks, b_voice, l, sub)
+        u_spec = pl.BlockSpec((2, n, l), lambda j: (0, 0, j))
     return pl.pallas_call(
         kernel,
         grid=grid,
@@ -321,7 +532,7 @@ def _build_call(n: int, rows_total: int, vb: int, t_blocks: int,
         ),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),                # q
-            pl.BlockSpec((2, n, l), lambda j: (0, 0, j)),         # u
+            u_spec,                                               # u
             pl.BlockSpec((t_blocks, 2, l), lambda j: (0, 0, j)),  # specs
             pl.BlockSpec(memory_space=pl.ANY),                    # ext2 (HBM)
         ],
@@ -347,7 +558,8 @@ def _build_call(n: int, rows_total: int, vb: int, t_blocks: int,
 def phased_step(u: jnp.ndarray, ext2: jnp.ndarray, specs: jnp.ndarray,
                 q: jnp.ndarray, b_voice: int,
                 lane_block: int | None = None,
-                interpret: bool = False):
+                interpret: bool = False,
+                variant: str = "v2"):
     """Full phased correlation step: corrected conv sums and the
     ``pre_multiplied`` accumulator in one pass.
 
@@ -394,6 +606,10 @@ def phased_step(u: jnp.ndarray, ext2: jnp.ndarray, specs: jnp.ndarray,
         f"(n={n}, T={t_blocks})"
     )
     call = _build_call(n, rows_total, vb, t_blocks, b_voice, l,
-                       u.dtype.name, interpret)
+                       u.dtype.name, interpret, variant)
+    if variant == "v2" and not packed:
+        # v2's f32/bf16 kernel reads the ring planes-folded (2-D ref for
+        # dynamic correction-row loads); [2, N, VB] -> [2N, VB] is free
+        u = u.reshape(2 * n, vb)
     return call(jnp.asarray(q, jnp.int32).reshape(1), u,
                 specs.astype(jnp.float32), ext2)
