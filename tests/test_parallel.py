@@ -249,6 +249,48 @@ def test_farm2_pallas_tail_mac_matches_jnp():
         )
 
 
+def test_phased_step_variants_agree():
+    """The VPU-lean v2 phased-step kernel (mask factoring + dynamic
+    correction-row reads) must match v1 exactly-as-f32 for every phase
+    residue class and both storages.  v1 is the hardware-validated
+    anchor (bench.py farm gates + exp_mac --parity on TPU); this pins
+    the algebraic equivalence in CI."""
+    from fft_convolution_tpu.ops.packing import pack_c32_planes
+    from fft_convolution_tpu.ops.pallas_farm_mac import phased_step
+
+    rng = np.random.default_rng(29)
+    v, n, tb, t_blocks = 4, 16, 128, 2
+    vb = v * tb
+    rows = 2 * n + 16
+    u_f = jnp.asarray(rng.standard_normal((2, n, vb)).astype(np.float32) * 0.1)
+    ext2_f = jnp.asarray(
+        rng.standard_normal((2, rows, vb)).astype(np.float32) * 0.1
+    )
+    specs = jnp.asarray(
+        rng.standard_normal((t_blocks, 2, vb)).astype(np.float32) * 0.1
+    )
+
+    for packed in (False, True):
+        u = pack_c32_planes(u_f) if packed else u_f
+        ext2 = pack_c32_planes(ext2_f) if packed else ext2_f
+        for q in (0, 1, 7, 8, 13, n - 1):
+            outs = {}
+            for var in ("v1", "v2"):
+                convs, pre = jax.jit(
+                    functools.partial(
+                        phased_step, b_voice=tb, interpret=True, variant=var
+                    )
+                )(u, ext2, specs, jnp.asarray(q, jnp.int32))
+                outs[var] = (np.asarray(convs), np.asarray(pre))
+            scale = max(np.abs(outs["v1"][0]).max(),
+                        np.abs(outs["v1"][1]).max())
+            for a, b in zip(outs["v1"], outs["v2"]):
+                np.testing.assert_allclose(
+                    b, a, atol=2e-6 * scale,
+                    err_msg=f"packed={packed} q={q}",
+                )
+
+
 def test_farm2_bf16_tail_close_to_f32():
     """Opt-in bf16 tail storage (table + ring): outputs must track the f32
     farm within bf16's ~3 significant digits, through both the jnp core
