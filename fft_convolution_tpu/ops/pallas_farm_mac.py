@@ -564,7 +564,9 @@ def phased_step(u: jnp.ndarray, ext2: jnp.ndarray, specs: jnp.ndarray,
     ``pre_multiplied`` accumulator in one pass.
 
     ``u``: [2, N, VB] ring (``N`` a tile-multiple — ``farm2_init`` pads),
-    or [N, VB] uint32 for plane-packed bf16 storage (ops/packing.py);
+    planes-folded [2N, VB] (row ``p*N + r`` is plane p row r — what hot
+    callers pass, see below), or [N, VB] uint32 for plane-packed bf16
+    storage (ops/packing.py);
     ``ext2``: [2, R, VB] doubled periodic table ([R, VB] packed) with row
     slack for the aligned window (asserted); ``specs``: [T, 2, VB] fresh
     input spectra (T <= the storage tile, so the table-head DMA covers
@@ -573,9 +575,13 @@ def phased_step(u: jnp.ndarray, ext2: jnp.ndarray, specs: jnp.ndarray,
     ``(convs [T, 2, VB], pre [2, VB])``.
     """
     packed = u.dtype == jnp.uint32
+    folded = (not packed) and u.ndim == 2  # planes-folded [2N, VB] ring
     if packed:
         n, vb = u.shape
         rows_total = ext2.shape[0]
+    elif folded:
+        n, vb = u.shape[0] // 2, u.shape[1]
+        rows_total = ext2.shape[1]
     else:
         _, n, vb = u.shape
         rows_total = ext2.shape[1]
@@ -607,9 +613,17 @@ def phased_step(u: jnp.ndarray, ext2: jnp.ndarray, specs: jnp.ndarray,
     )
     call = _build_call(n, rows_total, vb, t_blocks, b_voice, l,
                        u.dtype.name, interpret, variant)
-    if variant == "v2" and not packed:
+    if not packed:
         # v2's f32/bf16 kernel reads the ring planes-folded (2-D ref for
-        # dynamic correction-row loads); [2, N, VB] -> [2N, VB] is free
-        u = u.reshape(2 * n, vb)
+        # dynamic correction-row loads); v1 reads it [2, N, VB].  Hot
+        # callers pass the ring PRE-FOLDED and keep their ring row writes
+        # on the folded view too — a mixed 3-D-write/2-D-read ring makes
+        # XLA carry it plane-on-sublanes and relayout-copy the WHOLE ring
+        # in front of the kernel every period (farm2.py documents the
+        # measurement).  The reshapes here are bitcasts either way.
+        if variant == "v2" and not folded:
+            u = u.reshape(2 * n, vb)
+        elif variant != "v2" and folded:
+            u = u.reshape(2, n, vb)
     return call(jnp.asarray(q, jnp.int32).reshape(1), u,
                 specs.astype(jnp.float32), ext2)

@@ -455,13 +455,26 @@ def _tail_corr_phased_fused(cfg: uniform.UniformConfig,
     packed = u.dtype == jnp.uint32     # plane-packed bf16 (ops/packing.py)
 
     vb = v * bs
-    if mac in ("pallas", "pallas_interpret"):
+    pallas = mac in ("pallas", "pallas_interpret")
+    if pallas:
         # the single-pass kernel does the WHOLE step — base sums,
-        # corrections (ring rows mask-reduced in VMEM), and the
+        # corrections (dynamic ring-row reads in VMEM), and the
         # pre_multiplied accumulator — ops/pallas_farm_mac.py documents
         # why every piece of the jnp formulation is slow on TPU
         from ..ops.pallas_farm_mac import phased_step
 
+        if not packed:
+            # fold the ring planes to [2N, VB] for the kernel AND this
+            # period's ring row writes (below): the kernel's folded 2-D
+            # operand wants the default row-major layout, and a [2,1,VB]
+            # both-plane ring write votes the loop-carried ring into
+            # plane-on-sublanes {2,0,1:T(2,128)} — XLA then inserts a
+            # FULL ring relayout copy per period in front of the custom
+            # call (measured f32 full call 43.8 vs ~24 ms at V=128; the
+            # compile shows copy+bitcast of [2,2N,VB]).  Folded, the row
+            # writes are per-plane single-row 2-D updates with no layout
+            # preference and the state-boundary reshapes are bitcasts.
+            u = u.reshape(2 * n, vb)
         convs, pre = phased_step(u, ext2, specs, q, bs,
                                  interpret=(mac == "pallas_interpret"))
     else:
@@ -545,11 +558,21 @@ def _tail_corr_phased_fused(cfg: uniform.UniformConfig,
             u = jax.lax.dynamic_update_slice_in_dim(
                 u, pack_c32_planes(specs[s])[None], row_s, axis=0
             )
+        elif pallas:
+            # folded ring (see above): per-plane single-row 2-D writes
+            u = jax.lax.dynamic_update_slice_in_dim(
+                u, specs[s][:1].astype(u.dtype), row_s, axis=0
+            )
+            u = jax.lax.dynamic_update_slice_in_dim(
+                u, specs[s][1:].astype(u.dtype), n + row_s, axis=0
+            )
         else:
             u = jax.lax.dynamic_update_slice_in_dim(
                 u, specs[s][:, None].astype(u.dtype), row_s, axis=1
             )
 
+    if pallas and not packed:
+        u = u.reshape(2, n, vb)  # unfold for the state (bitcast)
     outs = irdft_block(
         jnp.swapaxes(convs.reshape(t_blocks, 2, v, bs), 1, 2), cfg.fft_size,
         precision,
