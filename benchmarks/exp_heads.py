@@ -73,10 +73,15 @@ def _stacked_heads(cfg, st_h, st_t0, vx, spec0_prev, khat2):
 
 
 def main():
-    voices = 128
+    voices, periods = 128, 2
     for i, a in enumerate(sys.argv):
         if a == "--voices":
             voices = int(sys.argv[i + 1])
+        if a == "--periods":
+            # tail blocks per call == periods; the phased kernel's table-
+            # window DMA is per CALL, so longer calls amortize the tail's
+            # dominant cost (bounds: 8 for the Pallas step, 16 jnp)
+            periods = int(sys.argv[i + 1])
     ir_seconds = 60
     block = 128
 
@@ -87,7 +92,7 @@ def main():
                                   tail_dtype=tail_dtype)
     n = cfg.head.seg_count
     p = cfg.period
-    t = 2 * p
+    t = periods * p
     audio = t * block / SR
     x = jnp.asarray(rng.standard_normal((t, voices, block)).astype(np.float32))
     vx = jnp.swapaxes(x, 0, 1)

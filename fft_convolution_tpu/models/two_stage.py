@@ -467,10 +467,19 @@ def _fused_small_streams(cfg, st_h, st_t0, blocks, precalc0, khats):
     window = jnp.flip(jax.lax.dynamic_slice(
         seg2, (st_h.current + 1, 0, 0), (n, 2, b)
     ), axis=0)                                   # blocks -n..-1 oldest-first
-    ext = jnp.concatenate([window, specs], axis=0)           # [n+T, 2, B]
+    # fold the meta-DFT zero pad (m_comb - n - T rows, the wrap slack the
+    # combined kernel's docstring requires) into this concat — ext lands
+    # at m_comb rows exactly and causal_conv_time's _pad_rows is a no-op
+    # instead of a second full-array materialization.  The slices below
+    # (ext_rec, byd) use explicit end indices < n + T, so the zero rows
+    # are inert for them.
+    m_comb = next_power_of_two(t + 2 * n - 1)
+    ext = jnp.concatenate(
+        [window, specs, jnp.zeros((m_comb - n - t, 2, b), jnp.float32)],
+        axis=0,
+    )                                                        # [m_comb, 2, B]
 
     kern = jnp.concatenate([st_h.segments_ir, st_t0.segments_ir], axis=0)
-    m_comb = next_power_of_two(t + 2 * n - 1)
     conv = causal_conv_time(ext, kern, t, kern_hat=kh_comb,
                             m=m_comb, row0=n)                # [T, 2, B]
 
@@ -478,8 +487,9 @@ def _fused_small_streams(cfg, st_h, st_t0, blocks, precalc0, khats):
     # contribution is carried in tail_precalc0 by contract): a triangular
     # linear convolution of the tail0 table with the history window
     ext_w = jnp.concatenate(
-        [jnp.zeros((n - 1, 2, b), jnp.float32), window], axis=0
-    )                                                        # [2n-1, 2, B]
+        [jnp.zeros((n - 1, 2, b), jnp.float32), window,
+         jnp.zeros((1, 2, b), jnp.float32)], axis=0
+    )                                                        # [2n, 2, B]
     w = causal_conv_time(ext_w, st_t0.segments_ir, p, kern_hat=kh_small,
                          m=2 * n)                            # [p, 2, B]
     conv = jnp.concatenate([conv[:p] - w, conv[p:]], axis=0)
@@ -499,8 +509,12 @@ def _fused_small_streams(cfg, st_h, st_t0, blocks, precalc0, khats):
     # exact exit-state reconstruction: tail0's raw rows for the last
     # min(q, 2) periods (+1 row for the OLA chain head)
     nrec = min(q, 2) * p + 1
-    ext_rec = jax.lax.slice_in_dim(ext, t - nrec + 1, t + n, axis=0)
     m_rec = next_power_of_two(n - 1 + nrec)
+    start = t - nrec + 1
+    # slice straight to m_rec rows when ext's folded zero slack covers it
+    # (rows >= n + T are the appended zeros) — skips the rec pad copy too
+    end = start + m_rec if start + m_rec <= m_comb else t + n
+    ext_rec = jax.lax.slice_in_dim(ext, start, end, axis=0)
     conv0 = causal_conv_time(ext_rec, st_t0.segments_ir, nrec,
                              kern_hat=kh_rec, m=m_rec)
     raw0 = irdft_block(conv0, ucfg.fft_size)                 # [nrec, 2B]

@@ -420,7 +420,16 @@ def _stream_conv(cfg: UniformConfig, state: UniformState,
             hist = hist_slice()
         else:
             hist = jax.lax.cond(active == n, hist_slice, hist_gather)
-        ext = jnp.concatenate([hist, specs], axis=0)        # [T+N-1, 2, B]
+        # fold the meta-DFT zero pad into this concat (ext lands at m
+        # rows exactly, making causal_conv_time's _pad_rows a no-op
+        # instead of a second full-array materialization); the rebuild
+        # reads below only touch rows < N-1+T, so the zeros are inert
+        m = next_power_of_two(n - 1 + t)
+        parts = [hist, specs]
+        if m > n - 1 + t:
+            parts.append(jnp.zeros((m - (n - 1 + t),) + specs.shape[1:],
+                                   specs.dtype))
+        ext = jnp.concatenate(parts, axis=0)                # [m, 2, B]
     else:
         ext = specs
 

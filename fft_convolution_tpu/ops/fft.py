@@ -142,9 +142,11 @@ def _dft_mats(m: int, sign: float) -> tuple[np.ndarray, np.ndarray]:
 
 
 @functools.lru_cache(maxsize=None)
-def _twiddles(n: int, sign: float) -> tuple[np.ndarray, np.ndarray]:
+def _twiddles(n: int, sign: float,
+              factors: tuple[int, int] | None = None,
+              ) -> tuple[np.ndarray, np.ndarray]:
     """4-step twiddle factors w^(i1*k2), shaped [k2=n2, i1=n1]."""
-    n1, n2 = _split_factors(n)
+    n1, n2 = _split_factors(n) if factors is None else factors
     k2 = np.arange(n2, dtype=np.float64)[:, None]
     i1 = np.arange(n1, dtype=np.float64)[None, :]
     ang = 2.0 * np.pi * k2 * i1 / n
@@ -296,13 +298,24 @@ def _irdft_4step(p: jnp.ndarray, n: int, precision=jax.lax.Precision.HIGHEST) ->
 def _cdft4_axis2(re: jnp.ndarray, im: jnp.ndarray, m: int, sign: float,
                  precision=jax.lax.Precision.HIGHEST,
                  scale: float = 1.0,
+                 factors: tuple[int, int] | None = None,
+                 out_rows: tuple[int, int] | None = None,
                  ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Complex 4-step DFT of length ``m`` (power of two) along axis -2 of
     ``[..., m, L]`` arrays — every stage an MXU matmul over the time axis,
     lanes untouched.  Unnormalized; ``sign=-1`` forward, ``+1`` inverse.
     ``scale`` folds a normalization (e.g. the inverse's 1/m) into the
-    final-stage matrices — saves a whole-array pass per call."""
-    n1, n2 = _split_factors(m)
+    final-stage matrices — saves a whole-array pass per call.
+    ``factors``: override the (n1, n2) split (``benchmarks/exp_metafac``
+    A/Bs MXU efficiency across splits; default near-sqrt — measured best).
+    ``out_rows``: ``(start, count)`` — produce ONLY output rows
+    ``[start, start + count)``.  Output row ``k1*n2 + k2`` lives in final-
+    stage column ``k1``, so a row range needs only ``ceil``-covering k1
+    columns: the final matmuls, their twiddled operand's last write, and
+    the swap-relayout all shrink proportionally (the overlap-save callers
+    keep ~half the rows — see ``causal_conv_time``)."""
+    n1, n2 = _split_factors(m) if factors is None else factors
+    assert n1 * n2 == m, (n1, n2, m)
     batch = re.shape[:-2]
     lanes = re.shape[-1]
     hp, od = _mm_mode(precision)
@@ -316,11 +329,22 @@ def _cdft4_axis2(re: jnp.ndarray, im: jnp.ndarray, m: int, sign: float,
 
     g_re = mm2(c2, a_re) - mm2(s2, a_im)
     g_im = mm2(c2, a_im) + mm2(s2, a_re)
-    t_re, t_im = (jnp.asarray(x)[..., None] for x in _twiddles(m, sign))
+    t_re, t_im = (jnp.asarray(x)[..., None]
+                  for x in _twiddles(m, sign, (n1, n2)))
     h_re = _opcast(g_re * t_re - g_im * t_im, od)
     h_im = _opcast(g_re * t_im + g_im * t_re, od)
     c1m, s1m = (_opcast(jnp.asarray(np.float32(scale) * x), od)
                 for x in _dft_mats(n1, sign))
+    k1_lo = 0
+    n_rows = m
+    if out_rows is not None:
+        r_lo, r_cnt = out_rows
+        assert 0 <= r_lo and r_lo + r_cnt <= m, (out_rows, m)
+        k1_lo = r_lo // n2
+        k1_hi = -(-(r_lo + r_cnt) // n2)
+        c1m = c1m[:, k1_lo:k1_hi]
+        s1m = s1m[:, k1_lo:k1_hi]
+        n_rows = (k1_hi - k1_lo) * n2
 
     def mm1(mat, arr):  # contract the n1 axis: [..., k2, i1, L] x [i1, k1]
         return jnp.einsum("...kjl,jm->...kml", arr, mat,
@@ -329,12 +353,21 @@ def _cdft4_axis2(re: jnp.ndarray, im: jnp.ndarray, m: int, sign: float,
     y_re = mm1(c1m, h_re) - mm1(s1m, h_im)
     y_im = mm1(s1m, h_re) + mm1(c1m, h_im)
     # X[k1*n2 + k2] = Y[k2, k1] -> swap then flatten
-    out_re = jnp.swapaxes(y_re, -3, -2).reshape(batch + (m, lanes))
-    out_im = jnp.swapaxes(y_im, -3, -2).reshape(batch + (m, lanes))
+    out_re = jnp.swapaxes(y_re, -3, -2).reshape(batch + (n_rows, lanes))
+    out_im = jnp.swapaxes(y_im, -3, -2).reshape(batch + (n_rows, lanes))
+    if out_rows is not None:
+        off = r_lo - k1_lo * n2
+        out_re = jax.lax.slice_in_dim(out_re, off, off + r_cnt, axis=-2)
+        out_im = jax.lax.slice_in_dim(out_im, off, off + r_cnt, axis=-2)
     return out_re, out_im
 
 
 def _pad_rows(x: jnp.ndarray, m: int) -> jnp.ndarray:
+    if m == x.shape[-2]:
+        # hot callers build ext at m rows exactly (zeros folded into
+        # their existing history++blocks concat) — a 0-row jnp.pad still
+        # lowered to a full-array copy in the compiled farm stream
+        return x
     pad = [(0, 0)] * (x.ndim - 2) + [(0, m - x.shape[-2]), (0, 0)]
     return jnp.pad(x, pad)
 
@@ -414,11 +447,16 @@ def causal_conv_time(ext: jnp.ndarray, kern: jnp.ndarray, t_out: int,
             )
 
     # main product: IDFT gives (rr - ii) + i (ri + ir) per lane; the 1/m
-    # normalization rides inside the inverse's final matmul stage
+    # normalization rides inside the inverse's final matmul stage, and the
+    # output-row window [r0, r0 + t_out) folds into its final-stage
+    # matrix columns (out_rows) — overlap-save discards ~half the rows,
+    # so computing/materializing only the kept k1 blocks saves ~40% of
+    # each inverse's final stage + relayout
+    r0 = n - 1 if row0 is None else row0
     z_re = ehat_re * khat_re - ehat_im * khat_im
     z_im = ehat_re * khat_im + ehat_im * khat_re
-    out_re, out_im = _cdft4_axis2(z_re, z_im, m, 1.0, precision,
-                                  scale=1.0 / m)
+    main_re, main_im = _cdft4_axis2(z_re, z_im, m, 1.0, precision,
+                                    scale=1.0 / m, out_rows=(r0, t_out))
 
     # lane-0 correction: conv with conj(kern) gives (rr + ii) + i (ir - ri);
     # DFT(conj(k))[f] = conj(K[-f mod M]) — no extra forward DFT needed
@@ -427,16 +465,10 @@ def causal_conv_time(ext: jnp.ndarray, kern: jnp.ndarray, t_out: int,
     e0_re, e0_im = ehat_re[..., :1], ehat_im[..., :1]
     zc_re = e0_re * kc_re - e0_im * kc_im
     zc_im = e0_re * kc_im + e0_im * kc_re
-    outc_re, _outc_im = _cdft4_axis2(zc_re, zc_im, m, 1.0, precision,
-                                     scale=1.0 / m)
-
-    sl = [slice(None)] * out_re.ndim
-    r0 = n - 1 if row0 is None else row0
-    sl[-2] = slice(r0, r0 + t_out)
-    sl = tuple(sl)
-    main_re = out_re[sl]              # rr - ii  (lanes >= 1: final re)
-    main_im = out_im[sl]              # ri + ir  (lanes >= 1: final im)
-    conj_re = outc_re[sl]             # rr + ii  (lane 0 only)
+    conj_re, _ = _cdft4_axis2(zc_re, zc_im, m, 1.0, precision,
+                              scale=1.0 / m, out_rows=(r0, t_out))
+    # main_re: rr - ii (lanes >= 1: final re); main_im: ri + ir;
+    # conj_re: rr + ii (lane 0 only)
 
     # lane-0 merge as a masked select, NOT a lane-axis concatenate — a
     # 1-lane concat shifts every other lane (a full relayout on TPU,

@@ -709,8 +709,17 @@ def _heads_fused(cfg: two_stage.TwoStageConfig,
     ring = jnp.flip(jax.lax.dynamic_slice(
         seg2, (0, current + 1, 0, 0), (v, n, 2, b)
     ), axis=1)                                    # blocks -n..-1 oldest-first
+    # fold the meta-DFT zero pad into this concat: ext lands at m rows
+    # exactly, so causal_conv_time's _pad_rows is a no-op instead of a
+    # second full-array materialization (pad.212/213 in the cost mining,
+    # ~2.6% of the V=128 stream)
+    m_meta = next_power_of_two(2 * n - 1 + t)
     parts = ([hist_prev] if n > 1 else []) + [ring, specs]
-    ext = jnp.concatenate(parts, axis=1)          # [V, 2n-1+T, 2, B]
+    if m_meta > 2 * n - 1 + t:
+        parts.append(
+            jnp.zeros((v, m_meta - (2 * n - 1 + t), 2, b), jnp.float32)
+        )
+    ext = jnp.concatenate(parts, axis=1)          # [V, m_meta, 2, B]
 
     kern = _combined_head_kernel(st_h, st_t0)     # [V, 2n, 2, B]
     conv = causal_conv_time(ext, kern, t, precision,
