@@ -310,7 +310,14 @@ def config5_reverb_farm(voices: int = 1024, ir_seconds: int = 60,
     tail_dtype = tail_dtype if tail_dtype is not None else jnp.float32
     tail_item = jnp.dtype(tail_dtype).itemsize
     tb = two_stage.compute_tail_block_size(block, ir_len)
-    t_blocks = 2 * (tb // block)
+    # periods per call: storage-dependent optimum (exp_qsweep, same-window
+    # V=128): f32's table-window DMA amortizes over the call — q=8 wins
+    # ~9%; packed bf16 halves the window bytes and the longer call's head
+    # meta-DFT transients dominate instead — q=2 wins.  8 is also the
+    # f32 Pallas step's t_blocks ceiling.  The voice sizing uses the same
+    # call length (head transients scale with it).
+    q = 2 if tail_item == 2 else 8
+    t_blocks = q * (tb // block)
     per_voice = farm2_bytes_per_voice(block, ir_len, t_blocks, tail_item)
     voices = int(min(voices, max(1, hbm // per_voice)))
 
@@ -318,7 +325,7 @@ def config5_reverb_farm(voices: int = 1024, ir_seconds: int = 60,
     irs = (rng.standard_normal((voices, ir_seconds * SR)) * 0.002).astype(np.float32)
     cfg, state = farm2.farm2_init(irs, block, ir_seconds * SR,
                                   tail_dtype=tail_dtype)
-    t = 2 * cfg.period
+    t = q * cfg.period
     x = jnp.asarray(rng.standard_normal((t, voices, block)).astype(np.float32))
     # the single-pass Pallas tail MAC is TPU-only (jnp core elsewhere)
     mac = "pallas" if jax.devices()[0].platform == "tpu" else "jnp"

@@ -272,8 +272,16 @@ def _irdft_4step(p: jnp.ndarray, n: int, precision=jax.lax.Precision.HIGHEST) ->
     pad/reverse fusions per farm tail call at 128 voices (lane reversals
     are full relayouts on TPU); this one has none, and does ~30% fewer
     matmul FLOPs besides (two b-point stages vs one 2b-point)."""
+    return _irdft_4step_pair(p[..., 0, :], p[..., 1, :], n, precision)
+
+
+def _irdft_4step_pair(p_re: jnp.ndarray, p_im: jnp.ndarray, n: int,
+                      precision=jax.lax.Precision.HIGHEST) -> jnp.ndarray:
+    """:func:`_irdft_4step` on separate packed planes ``[..., B]`` — what
+    planes-outer fused-voice callers have in hand (indexing their plane
+    axis is free; relayouting to the interleaved ``[..., 2, B]`` interface
+    was a measured full-array transpose copy in the farm stream)."""
     b = n // 2
-    p_re, p_im = p[..., 0, :], p[..., 1, :]
     nyq = p_im[..., :1]
     # lane-0 fixups (halve DC re, zero the Nyquist-carrying im) as masked
     # multiplies, NOT 1-lane concats — a 1-lane concat shifts every other
@@ -521,6 +529,19 @@ def irdft_block(p: jnp.ndarray, fft_size: int,
     if fft_size <= _DIRECT_MAX:
         return _irdft_direct(p, fft_size, precision)
     return _irdft_4step(p, fft_size, precision)
+
+
+def irdft_pair(p_re: jnp.ndarray, p_im: jnp.ndarray, fft_size: int,
+               precision=jax.lax.Precision.HIGHEST) -> jnp.ndarray:
+    """:func:`irdft_block` taking the two packed planes separately
+    (``[..., B]`` each, lanes last).  Planes-outer fused-voice callers
+    (the farm tail) index their plane axis instead of transposing to the
+    interleaved ``[..., 2, B]`` interface — that transpose was a measured
+    full-array relayout copy per stream call (farm2.py cost mining)."""
+    if fft_size <= _DIRECT_MAX:
+        return _irdft_direct(jnp.stack([p_re, p_im], axis=-2), fft_size,
+                             precision)
+    return _irdft_4step_pair(p_re, p_im, fft_size, precision)
 
 
 def ir_to_spectra(ir_padded: jnp.ndarray, block_size: int, seg_count: int) -> jnp.ndarray:

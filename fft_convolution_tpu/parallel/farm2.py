@@ -56,7 +56,8 @@ import numpy as np
 from ..models import two_stage, uniform
 from ..ops.cpx import pmul_sum
 from ..ops.fft import (causal_conv_khat, causal_conv_time, ir_to_spectra,
-                       irdft_block, next_power_of_two, rdft_block)
+                       irdft_block, irdft_pair, next_power_of_two,
+                       rdft_block)
 from ..ops.packing import pack_c32, pack_c32_planes, unpack_c32
 from . import farm
 
@@ -573,10 +574,12 @@ def _tail_corr_phased_fused(cfg: uniform.UniformConfig,
 
     if pallas and not packed:
         u = u.reshape(2, n, vb)  # unfold for the state (bitcast)
-    outs = irdft_block(
-        jnp.swapaxes(convs.reshape(t_blocks, 2, v, bs), 1, 2), cfg.fft_size,
-        precision,
-    )                                                 # [T, V, 2B]
+    # feed the inverse the two planes directly from the planes-outer
+    # layout — the old [T, 2, V, Bs] -> [T, V, 2, Bs] swap was a measured
+    # full-array relayout copy per call (cost mining: copy at this line)
+    c4 = convs.reshape(t_blocks, 2, v, bs)
+    outs = irdft_pair(c4[:, 0], c4[:, 1], cfg.fft_size, precision)
+    # outs: [T, V, 2B]
     tails = jnp.concatenate([state.overlap[None], outs[:-1, :, b:]], axis=0)
     y = outs[:, :, :b] + tails                        # [T, V, B]
     return state._replace(
