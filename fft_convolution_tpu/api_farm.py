@@ -165,6 +165,10 @@ class ReverbFarm:
         """Stream ``[T, V, block_size]`` -> ``[T, V, block_size]``;
         ``T`` must be a positive multiple of ``period`` and at most
         ``max_blocks_per_call`` (the phased tail core's per-call bound —
+        longer calls amortize the Pallas tail's per-call table-window DMA:
+        with f32 tail storage, 8-period calls measured ~9% more aggregate
+        throughput than 2-period calls at V=128; packed bf16 prefers
+        2-period calls (``benchmarks/exp_qsweep``) —
         split longer streams into consecutive calls)."""
         blocks = jnp.asarray(blocks, jnp.float32)
         t = blocks.shape[0]
