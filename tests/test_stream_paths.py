@@ -256,3 +256,22 @@ def test_stream_khat_exact_and_coherent():
     assert e._khat_cache
     e.update_extension(rng.standard_normal(50000).astype(np.float32) * 0.02)
     assert not e._khat_cache
+
+
+def test_irdft_pair_matches_interleaved():
+    """irdft_pair (planes taken separately — what the fused-voice farm
+    tail hands it) must equal irdft_block on the interleaved [..., 2, B]
+    layout, for both the direct and 4-step size regimes and for output
+    rows beyond the lane-0 specials."""
+    from fft_convolution_tpu.ops.fft import _DIRECT_MAX, irdft_block, irdft_pair
+
+    rng = np.random.default_rng(31)
+    for fft_size in (256, 2 * _DIRECT_MAX, 8 * _DIRECT_MAX):
+        b = fft_size // 2
+        p = jnp.asarray(rng.standard_normal((3, 5, 2, b)).astype(np.float32))
+        a = np.asarray(jax.jit(
+            functools.partial(irdft_block, fft_size=fft_size))(p))
+        bpair = np.asarray(jax.jit(
+            functools.partial(irdft_pair, fft_size=fft_size)
+        )(p[..., 0, :], p[..., 1, :]))
+        np.testing.assert_allclose(bpair, a, atol=1e-6 * max(np.abs(a).max(), 1))
