@@ -751,7 +751,12 @@ def stream_conv_farm(cfg: UniformConfig, state: UniformState,
             seg2, (0, current + 1, 0, 0), (v, n - 1, 2, b)
         )
         hist = jnp.flip(window, axis=1)
-        ext = jnp.concatenate([hist, specs], axis=1)         # [V, T+N-1, 2, B]
+        # fold the meta-DFT zero pad into the concat (see _stream_conv)
+        m = next_power_of_two(n - 1 + t)
+        parts = [hist, specs]
+        if m > n - 1 + t:
+            parts.append(jnp.zeros((v, m - (n - 1 + t), 2, b), jnp.float32))
+        ext = jnp.concatenate(parts, axis=1)                 # [V, m, 2, B]
     else:
         ext = specs
 
