@@ -689,9 +689,15 @@ def process_stream_aligned(cfg: TwoStageConfig, state: TwoStageState,
     if cfg.tail is not None:
         big = blocks.reshape(q, tb)
         tail_state, out_t = big_stream(cfg.tail, state.tail, big)
-        heads_ = [state.tail_precalc[None], state.tail_output[None]]
-        contrib = jnp.concatenate(heads_ + [out_t[:-2]], axis=0)[:q]
-        y = y + contrib.reshape(t, b)
+        # two-period delay line, slot-wise into the period view of y
+        # (no concatenated [T, B] temp — same fold as farm2_stream's)
+        yq = y.reshape(q, tb)
+        yq = yq.at[0].add(state.tail_precalc)
+        if q >= 2:
+            yq = yq.at[1].add(state.tail_output)
+        if q > 2:
+            yq = yq.at[2:].add(out_t[:-2])
+        y = yq.reshape(t, b)
         new_output = out_t[-1]
         new_precalc = out_t[-2] if q >= 2 else state.tail_output
     else:

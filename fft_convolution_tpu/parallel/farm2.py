@@ -849,9 +849,18 @@ def farm2_stream(cfg: two_stage.TwoStageConfig, state: two_stage.TwoStageState,
         cfg.tail, state.tail, big_rows, mac=tail_mac, precision=tprec
     )
     out_tv = jnp.swapaxes(out_t, 0, 1)                   # [V, q, tb]
-    heads_ = [state.tail_precalc[:, None], state.tail_output[:, None]]
-    contrib = jnp.concatenate(heads_ + [out_tv[:, :-2]], axis=1)[:, :q]
-    y = y + contrib.reshape(v, t, b)
+    # two-period delay line: add the delayed contributions into the
+    # period view of y slot-wise (slot 0 <- pending precalc, slot 1 <-
+    # pending output, slots 2.. <- this call's early outputs) — the
+    # concatenate formulation materialized a full [V, T, B] temp that the
+    # adder then re-read (cost mining flagged the concat)
+    yq = y.reshape(v, q, tb)
+    yq = yq.at[:, 0].add(state.tail_precalc)
+    if q >= 2:
+        yq = yq.at[:, 1].add(state.tail_output)
+    if q > 2:
+        yq = yq.at[:, 2:].add(out_tv[:, :-2])
+    y = yq.reshape(v, t, b)
     new_output = out_tv[:, -1]
     new_precalc = out_tv[:, -2] if q >= 2 else state.tail_output
 
