@@ -164,3 +164,20 @@ def test_reverb_farm_varying_call_lengths():
             y[:, voice].reshape(-1), np.concatenate([r1, r2]),
             atol=1e-5, err_msg=f"voice {voice}",
         )
+
+
+def test_reverb_farm_long_call():
+    """A T = 8-period call (the f32 production shape) exercises the
+    delay line's third slot branch: this call's early big-tail outputs
+    land in period slots 2.. of the same call's output."""
+    farm, irs, rng = _farm(seed=41)
+    v, b, p = farm.voices, farm.block_size, farm.period
+    x = rng.standard_normal((8 * p, v, b)).astype(np.float32)
+    y = np.asarray(farm.process(x))
+    for voice in range(v):
+        e = TwoStageFFTConvolver(irs[voice], b, irs.shape[1])
+        r = e.process(x[:, voice].reshape(-1))
+        np.testing.assert_allclose(
+            y[:, voice].reshape(-1), r, atol=1e-5,
+            err_msg=f"voice {voice}",
+        )
