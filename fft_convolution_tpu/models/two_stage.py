@@ -549,6 +549,15 @@ def _fused_small_streams(cfg, st_h, st_t0, blocks, precalc0, khats):
     return st_h2, st_t02, y, new_precalc0, new_output0
 
 
+# Minimum big-tail blocks per aligned call for the tail to stream through
+# the khat-served time-DFT conv core instead of the sequential ring scan.
+# The ring scan reads the whole ring + a doubled-table window PER BLOCK
+# (~2 x N x fft_size x 4 bytes each step) while the conv core's meta-DFT
+# passes are nearly flat in T (m = next_power_of_two(N - 1 + T) barely
+# moves); below this many blocks the scan's smaller constant wins.
+TAIL_CONV_MIN_BLOCKS = 8
+
+
 def stream_khats(cfg: TwoStageConfig, state: TwoStageState, t: int):
     """Precompute the kernel meta-spectra for ``T = t``-block aligned
     stream calls — input-independent between IR updates, one third of
@@ -558,9 +567,12 @@ def stream_khats(cfg: TwoStageConfig, state: TwoStageState, t: int):
     (:func:`models.uniform.stream_khat`) for the separate-stream paths;
     when the stage configs fuse, ``comb``/``small``/``rec`` are the
     combined 2n-segment kernel's khat and the two small side-pass khats
-    :func:`_fused_small_streams` uses.  The main tail streams at a huge
-    block size, which routes through the hoisted-DFT ring scan (no
-    meta-DFT), so no khat exists for it.  Jittable; pass to
+    :func:`_fused_small_streams` uses.  When the call covers at least
+    :data:`TAIL_CONV_MIN_BLOCKS` tail periods, ``tail`` is the BIG
+    tail's khat: supplying it flips the tail from the sequential ring
+    scan (whole-ring HBM reads per block) to the batched time-DFT conv
+    core (:func:`models.uniform._stream_conv` via ``kern_hat``), whose
+    traffic is nearly flat in the call length.  Jittable; pass to
     :func:`process_stream_aligned` as ``khats=``.
     """
     out = {
@@ -568,6 +580,9 @@ def stream_khats(cfg: TwoStageConfig, state: TwoStageState, t: int):
         "t0": (uniform.stream_khat(cfg.tail0, state.tail0, t)
                if cfg.tail0 is not None else None),
     }
+    q = t // cfg.period
+    if cfg.tail is not None and q >= TAIL_CONV_MIN_BLOCKS:
+        out["tail"] = uniform.stream_khat(cfg.tail, state.tail, q)
     if cfg.tail0 is not None and cfg.head == cfg.tail0:
         n = cfg.head.seg_count
         q = t // cfg.period
@@ -621,8 +636,10 @@ def process_stream_aligned(cfg: TwoStageConfig, state: TwoStageState,
     # cores so voice-batching does not turn the safety conds into
     # execute-both-branches selects.  khats (:func:`stream_khats`) only
     # apply to the DEFAULT small stream — custom cores manage their own.
-    kh_head, kh_t0 = ((khats.get("head"), khats.get("t0"))
-                      if khats is not None else (None, None))
+    kh_head, kh_t0, kh_tail = (
+        (khats.get("head"), khats.get("t0"), khats.get("tail"))
+        if khats is not None else (None, None, None)
+    )
     default_small = small_stream is None
     if default_small:
         def small_stream(ucfg, ust, blk, _kh=None):
@@ -633,7 +650,13 @@ def process_stream_aligned(cfg: TwoStageConfig, state: TwoStageState,
         def small_stream(ucfg, ust, blk, _kh=None):
             del _kh
             return _user_small(ucfg, ust, blk)
-    big_stream = big_stream or uniform.process_stream
+    if big_stream is None:
+        # a precomputed tail khat (stream_khats' "tail" entry) routes the
+        # big tail through the batched time-DFT conv core instead of the
+        # per-block ring scan — the dominant byte mover of long aligned
+        # calls (uniform.process_stream picks the core off kern_hat)
+        def big_stream(ucfg, ust, blk):
+            return uniform.process_stream(ucfg, ust, blk, kern_hat=kh_tail)
 
     # fused head+tail0 front end: with identical stage configs the two
     # rings are equal by construction, so one forward DFT / ring rebuild

@@ -825,8 +825,14 @@ def process_stream(cfg: UniformConfig, state: UniformState,
         # static cost choice: the time-DFT core amortizes its block-axis
         # transforms over long streams of small blocks; for huge blocks
         # (two-stage tails) or very short streams the hoisted-DFT ring scan
-        # is cheaper
-        use_conv = cfg.block_size <= 2048 and t >= 8
+        # is cheaper.  A caller-precomputed ``kern_hat`` overrides the
+        # block-size heuristic: with the kernel-side meta-DFT hoisted, the
+        # conv core reads the ring ONCE per call instead of once per block
+        # — at the flagship tail shape (57 segments x 8192 lanes, 62
+        # blocks/call) the ring scan moves ~7.5 MB x T of HBM while the
+        # conv core's meta-DFT passes are ~flat in T (the caller gates the
+        # khat build on enough blocks per call: two_stage.stream_khats)
+        use_conv = (cfg.block_size <= 2048 and t >= 8) or kern_hat is not None
         if use_conv:
             new_state, convs = jax.lax.cond(
                 state.current < state.active_segs,

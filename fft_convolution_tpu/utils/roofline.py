@@ -66,15 +66,23 @@ def _cdft4_cost(batch: int, m: int, lanes: int) -> Cost:
     return Cost(flops, bytes_)
 
 
-def stream_conv_cost(cfg: uniform.UniformConfig, t: int) -> Cost:
-    """uniform.stream_conv_unguarded (time-DFT core) over T blocks."""
+def stream_conv_cost(cfg: uniform.UniformConfig, t: int,
+                     khat_hoisted: bool = False) -> Cost:
+    """uniform.stream_conv_unguarded (time-DFT core) over T blocks.
+    ``khat_hoisted``: the kernel-side meta-DFT is precomputed
+    (uniform.stream_khat) — its forward pass drops out and the call only
+    READS the khat arrays."""
     n, b = cfg.seg_count, cfg.block_size
     fft = cfg.fft_size
     lt = n - 1 + t
     m = next_power_of_two(lt)
     lanes = b  # packed [2, B] treated as one complex lane set of width B
     c = _rdft_cost(t, fft)                     # forward DFTs
-    c += _cdft4_cost(1, m, lanes).scaled(2)           # ehat + khat forward
+    if khat_hoisted:
+        c += _cdft4_cost(1, m, lanes)                 # ehat forward only
+        c += Cost(flops=0.0, bytes=4.0 * m * lanes * 2)   # khat read
+    else:
+        c += _cdft4_cost(1, m, lanes).scaled(2)       # ehat + khat forward
     c += Cost(flops=6.0 * m * lanes, bytes=4.0 * m * lanes * 2 * 2)  # product
     c += _cdft4_cost(1, m, lanes)                     # inverse
     c += _rdft_cost(t, fft)                    # inverse DFTs
@@ -99,41 +107,59 @@ def stream_scan_sliced_cost(cfg: uniform.UniformConfig, t: int) -> Cost:
     return c
 
 
-def fused_heads_cost(cfg: two_stage.TwoStageConfig, t: int) -> Cost:
+def fused_heads_cost(cfg: two_stage.TwoStageConfig, t: int,
+                     khat_hoisted: bool = False) -> Cost:
     """two_stage._fused_small_streams: ONE combined 2n-segment stream
     produces head + delayed tail0 (one meta-product, one inverse), plus
-    the two small side passes (first-period subtract, exit-state rec)."""
+    the two small side passes (first-period subtract, exit-state rec).
+    ``khat_hoisted``: served with precomputed stream_khats (the kernel
+    meta-DFTs drop to khat reads)."""
     ucfg = cfg.head
     n, b = ucfg.seg_count, ucfg.block_size
     fft = ucfg.fft_size
     p = cfg.period
     q = t // p
     m = next_power_of_two(t + 2 * n - 1)
+
+    def meta(msize: int) -> Cost:
+        if khat_hoisted:
+            return _cdft4_cost(1, msize, b) + Cost(
+                flops=0.0, bytes=4.0 * msize * b * 2
+            )
+        return _cdft4_cost(1, msize, b).scaled(2)
+
     c = _rdft_cost(t, fft)                       # shared forward DFTs
-    c += _cdft4_cost(1, m, b).scaled(2)          # ehat + khat forward
+    c += meta(m)                                 # ehat fwd (+ khat)
     c += Cost(flops=6.0 * m * b, bytes=4.0 * m * b * 2 * 2)   # product
     c += _cdft4_cost(1, m, b)                    # inverse
     c += _rdft_cost(t, fft)                      # inverse DFTs
-    c += _cdft4_cost(1, 2 * n, b).scaled(2)      # first-period subtract
+    c += meta(2 * n)                             # first-period subtract
     nrec = min(q, 2) * p + 1
-    c += _cdft4_cost(1, next_power_of_two(n - 1 + nrec), b).scaled(2)
+    c += meta(next_power_of_two(n - 1 + nrec))
     c += _rdft_cost(nrec, fft)                   # exit-state rec pass
     # state traffic: read both IR spectra tables + ring, write ring
     c += Cost(flops=0.0, bytes=4.0 * (2 * n * 2 * b * 2 + t * 2 * b))
     return c
 
 
-def two_stage_stream_cost(cfg: two_stage.TwoStageConfig, t: int) -> Cost:
-    """two_stage.process_stream_aligned over T head blocks (T % period == 0)."""
+def two_stage_stream_cost(cfg: two_stage.TwoStageConfig, t: int,
+                          khat_hoisted: bool = True) -> Cost:
+    """two_stage.process_stream_aligned over T head blocks (T % period == 0).
+    ``khat_hoisted=True`` models the production khat-served call
+    (api_two_stage/bench both cache stream_khats per IR epoch), including
+    the big tail's conv-core routing above TAIL_CONV_MIN_BLOCKS."""
     q = t // cfg.period
     if cfg.tail0 is not None and cfg.head == cfg.tail0:
-        c = fused_heads_cost(cfg, t)
+        c = fused_heads_cost(cfg, t, khat_hoisted)
     else:
-        c = stream_conv_cost(cfg.head, t)
+        c = stream_conv_cost(cfg.head, t, khat_hoisted)
         if cfg.tail0 is not None:
-            c += stream_conv_cost(cfg.tail0, t)
+            c += stream_conv_cost(cfg.tail0, t, khat_hoisted)
     if cfg.tail is not None:
-        c += stream_scan_sliced_cost(cfg.tail, q)
+        if khat_hoisted and q >= two_stage.TAIL_CONV_MIN_BLOCKS:
+            c += stream_conv_cost(cfg.tail, q, khat_hoisted=True)
+        else:
+            c += stream_scan_sliced_cost(cfg.tail, q)
     # the three-way output sum
     c += Cost(flops=2.0 * t * cfg.head_block, bytes=4.0 * 4 * t * cfg.head_block)
     return c

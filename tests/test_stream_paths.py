@@ -258,6 +258,61 @@ def test_stream_khat_exact_and_coherent():
     assert not e._khat_cache
 
 
+def test_uniform_big_block_khat_routes_conv_core():
+    """A supplied kern_hat flips huge-block streams (block > 2048, the
+    two-stage big tail regime) from the sequential ring scan to the
+    batched time-DFT conv core — outputs and state must match the scan."""
+    rng = np.random.default_rng(63)
+    block = 4096  # > the 2048 static heuristic: scan unless khat supplied
+    ir = rng.standard_normal(150000).astype(np.float32) * 0.02
+    cfg, state = uniform.init(ir, block, len(ir))
+    t = 12
+    x = jnp.asarray(rng.standard_normal((t, block)).astype(np.float32))
+    kh = jax.jit(functools.partial(uniform.stream_khat, cfg),
+                 static_argnums=(1,))(state, t)
+    run = jax.jit(functools.partial(uniform.process_stream, cfg))
+    s_scan, y_scan = run(state, x)
+    s_conv, y_conv = run(state, x, kern_hat=kh)
+    scale = float(np.abs(np.asarray(y_scan)).max())
+    np.testing.assert_allclose(np.asarray(y_conv), np.asarray(y_scan),
+                               atol=1e-5 * max(scale, 1.0))
+    for a, b, name in zip(s_conv, s_scan, uniform.UniformState._fields):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-4,
+            err_msg=f"state field {name}",
+        )
+
+
+def test_two_stage_tail_khat_conv_core_matches():
+    """Aligned streams served with the big-tail khat (>= TAIL_CONV_MIN_BLOCKS
+    periods per call -> conv-core tail) must match the khat-free aligned
+    path (ring-scan tail) across chained calls — the second call's output
+    exposes the first call's tail contribution (two periods delayed) AND
+    the tail ring state the conv core left behind."""
+    rng = np.random.default_rng(64)
+    ir = rng.standard_normal(150000).astype(np.float32) * 0.02
+    cfg, state = two_stage.init(ir, 64, len(ir))
+    assert cfg.tail is not None and cfg.tail.block_size > 2048
+    t = two_stage.TAIL_CONV_MIN_BLOCKS * cfg.period
+    khs = jax.jit(functools.partial(two_stage.stream_khats, cfg),
+                  static_argnums=(1,))(state, t)
+    assert "tail" in khs, "tail khat missing at the conv-core threshold"
+    run = jax.jit(functools.partial(two_stage.process_stream_aligned, cfg))
+    x1 = jnp.asarray(rng.standard_normal((t, 64)).astype(np.float32))
+    x2 = jnp.asarray(rng.standard_normal((t, 64)).astype(np.float32))
+    sa, ya1 = run(state, x1, khats=khs)
+    sa, ya2 = run(sa, x2, khats=khs)
+    sb, yb1 = run(state, x1)
+    sb, yb2 = run(sb, x2)
+    scale = float(np.abs(np.asarray(yb2)).max())
+    np.testing.assert_allclose(np.asarray(ya1), np.asarray(yb1),
+                               atol=1e-5 * max(scale, 1.0))
+    np.testing.assert_allclose(np.asarray(ya2), np.asarray(yb2),
+                               atol=1e-5 * max(scale, 1.0))
+    for a, b in zip(jax.tree.leaves(sa), jax.tree.leaves(sb)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
 def test_irdft_pair_matches_interleaved():
     """irdft_pair (planes taken separately — what the fused-voice farm
     tail hands it) must equal irdft_block on the interleaved [..., 2, B]
