@@ -70,7 +70,7 @@ def main() -> None:
             st_h, st_t0 = st
             st_h2, st_t02, y, _hist = farm2._heads_fused(
                 cfg, st_h, st_t0, jnp.swapaxes(xs, 0, 1), hist0,
-                suppress_first=False, precision=precision, khat=kh,
+                suppress_flags=jnp.zeros((voices,), jnp.int32), precision=precision, khat=kh,
             )
             return (st_h2, st_t02), y
 

@@ -115,7 +115,7 @@ def main():
     @jax.jit
     def run_combined_once(st_h, st_t0, kh):
         st_h2, st_t02, y, _ = farm2._heads_fused(cfg, st_h, st_t0, vx, hist0,
-                                                 suppress_first=False,
+                                                 suppress_flags=jnp.zeros((voices,), jnp.int32),
                                                  khat=kh)
         return y
 
@@ -135,7 +135,7 @@ def main():
         st_h, st_t0 = st
         st_h2, st_t02, y, hist = farm2._heads_fused(
             cfg, st_h, st_t0, jnp.swapaxes(xs, 0, 1), hist0,
-            suppress_first=False, khat=kh
+            suppress_flags=jnp.zeros((voices,), jnp.int32), khat=kh
         )
         return (st_h2, st_t02), y
 

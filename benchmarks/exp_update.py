@@ -95,6 +95,84 @@ def main():
         flush=True,
     )
 
+    # per-voice (subset) update: one client swaps one IR without paying
+    # the farm rebuild — farm2_update_voices at K = 1 and 8, plus the
+    # incremental khat slab recompute the wrapper patches caches with
+    updv = functools.partial(farm2.farm2_update_voices, cfg)
+
+    def build_chainedv():
+        @functools.partial(jax.jit, donate_argnums=(0,), static_argnums=(3,))
+        def chainedv(st, vi, ni, length):
+            def body(s, _):
+                return updv(s, vi, ni), 0.0
+
+            sf, _ = jax.lax.scan(body, st, None, length=length)
+            probe = sf.tail.segments_ir.reshape(-1)[0]
+            return sf, probe.astype(jnp.float32)
+
+        return chainedv
+
+    chainedv = build_chainedv()
+    for k in (1, 8):
+        if k > voices:
+            continue
+        vi = jnp.asarray(np.arange(k), jnp.int32)
+        ni = new_irs[:k]
+        if k == 1:
+            memv = chainedv.lower(state, vi, ni, 1).compile().memory_analysis()
+            print(
+                f"V={voices} dtype={np.dtype(dtype).name} update_voices K=1 "
+                f"memory: temp={memv.temp_size_in_bytes/1e9:.3f}G",
+                flush=True,
+            )
+
+        def runv(length, st):
+            st, v = chainedv(st, vi, ni, length)
+            _ = float(v)
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                st, v = chainedv(st, vi, ni, length)
+                _ = float(v)
+                best = min(best, time.perf_counter() - t0)
+            return best, st
+
+        t1, state = runv(2, state)
+        t2, state = runv(10, state)
+        wv = max((t2 - t1) / 8, 1e-9)
+        print(
+            f"V={voices} dtype={np.dtype(dtype).name} update_voices K={k}: "
+            f"{wv*1e3:.3f} ms ({wall/max(wv, 1e-12):.0f}x cheaper than the "
+            f"full rebuild)",
+            flush=True,
+        )
+
+    # khat slab patch vs full khat rebuild (t = 2 periods, the serving T)
+    t_call = 2 * cfg.period
+    kh_full = jax.jit(functools.partial(farm2.farm2_head_khat, cfg),
+                      static_argnums=(1,))
+    kh_sub = jax.jit(functools.partial(farm2.farm2_head_khat_voices, cfg),
+                     static_argnums=(1,))
+    vi1 = jnp.asarray([0], jnp.int32)
+
+    def tkhat(fn, *args):
+        r = fn(*args)
+        _ = float(jax.tree.leaves(r)[0].reshape(-1)[0])
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            r = fn(*args)
+            _ = float(jax.tree.leaves(r)[0].reshape(-1)[0])
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    tf = tkhat(kh_full, state, t_call)
+    ts = tkhat(kh_sub, state, t_call, vi1)
+    print(
+        f"V={voices} khat: full {tf*1e3:.2f} ms vs K=1 slab {ts*1e3:.2f} ms",
+        flush=True,
+    )
+
 
 if __name__ == "__main__":
     main()

@@ -143,6 +143,16 @@ class ReverbFarm:
             functools.partial(farm2.farm2_update, self.cfg),
             donate_argnums=(0,),
         )
+        # per-voice-count K jit cache for farm2_update_voices (K is a
+        # shape, so each subset size compiles once)
+        self._update_voices_jit = jax.jit(
+            functools.partial(farm2.farm2_update_voices, self.cfg),
+            donate_argnums=(0,),
+        )
+        self._khat_voices_jit = jax.jit(
+            functools.partial(farm2.farm2_head_khat_voices, self.cfg),
+            static_argnums=(1,),
+        )
         # head-kernel meta-spectra (farm2_head_khat), cached per meta-DFT
         # length m: input-independent between IR updates, and recomputing
         # it inline was a third of the head MAC's matmul work per call
@@ -151,6 +161,7 @@ class ReverbFarm:
             static_argnums=(1,),
         )
         self._khat_cache = {}
+        self._khat_t_for_m = {}  # which T built each cached meta length
 
     @property
     def period(self) -> int:
@@ -199,6 +210,7 @@ class ReverbFarm:
             if khat is None:
                 khat = self._khat_fn(self.state, t)
                 self._khat_cache[m] = khat
+                self._khat_t_for_m[m] = t
         else:
             khat = None
         self.state, y = self._stream(self.state, blocks, head_khat=khat)
@@ -223,6 +235,58 @@ class ReverbFarm:
         self.state = self._update(self.state, jnp.asarray(new_irs))
         # the cached head-kernel meta-spectra belong to the OLD tables
         self._khat_cache.clear()
+        self._khat_t_for_m.clear()
+
+    def update_voice(self, voice: int, new_ir) -> None:
+        """Per-voice RT-safe IR swap — one client swaps one IR without
+        paying the whole farm's rebuild (O(1/V) of :meth:`update`'s cost;
+        the reference's cheap-``update`` contract,
+        ``src/fft_convolver.rs:174-213``, at fleet scale)."""
+        self.update_voices([voice], np.asarray(new_ir, np.float32)[None])
+
+    def update_voices(self, voice_idx, new_irs) -> None:
+        """RT-safe IR swap for a SUBSET of voices at a period boundary
+        (:func:`parallel.farm2.farm2_update_voices`): only the touched
+        voices' stage table rows / tail column slabs are re-DFT'd and
+        written, their pending tail outputs zeroed, and the cached head
+        khats patched in place (per-voice slab recompute) instead of a
+        farm-wide rebuild.  Untouched voices' streams are bit-identical
+        to a farm that never updated."""
+        new_irs = np.asarray(new_irs, np.float32)
+        idx = np.asarray(voice_idx, np.int64).reshape(-1)
+        if new_irs.ndim != 2 or new_irs.shape[0] != idx.shape[0]:
+            raise ValueError(
+                f"expected [{idx.shape[0]}, L] new responses for "
+                f"{idx.shape[0]} voices, got {new_irs.shape}"
+            )
+        if idx.size == 0:
+            return
+        if len(np.unique(idx)) != idx.size:
+            raise ValueError("voice_idx must be distinct")
+        if idx.min() < 0 or idx.max() >= self.voices:
+            raise ValueError(
+                f"voice_idx out of range [0, {self.voices})"
+            )
+        if new_irs.shape[1] > self.max_response_length:
+            raise ValueError(
+                f"new responses ({new_irs.shape[1]}) exceed the farm's "
+                f"response capacity ({self.max_response_length})"
+            )
+        vidx = jnp.asarray(idx, jnp.int32)
+        self.state = self._update_voices_jit(
+            self.state, vidx, jnp.asarray(new_irs)
+        )
+        # patch cached head khats in place: recompute only the touched
+        # voices' slabs against the NEW tables
+        if self.cfg.tail is not None:
+            patched = {}
+            for m, (kre, kim) in self._khat_cache.items():
+                t = self._khat_t_for_m.get(m)
+                if t is None:
+                    continue
+                sre, sim = self._khat_voices_jit(self.state, t, vidx)
+                patched[m] = (kre.at[vidx].set(sre), kim.at[vidx].set(sim))
+            self._khat_cache = patched
 
     def reset(self) -> None:
         """Clear all input state; keep the IR tables
@@ -263,6 +327,7 @@ class ReverbFarm:
         self.state = jax.tree.map(jnp.copy, snap)
         # the snapshot may carry different IR tables than the cached khat
         self._khat_cache.clear()
+        self._khat_t_for_m.clear()
 
     def clone(self) -> "ReverbFarm":
         c = object.__new__(ReverbFarm)
@@ -271,4 +336,5 @@ class ReverbFarm:
         # own cache: an update() on either instance must not leave the
         # other reading khat of the wrong IR tables
         c._khat_cache = dict(self._khat_cache)
+        c._khat_t_for_m = dict(self._khat_t_for_m)
         return c

@@ -676,10 +676,13 @@ def process_stream_aligned(cfg: TwoStageConfig, state: TwoStageState,
             hs, yh = small_stream(cfg.head, state.head, blocks, kh_head)
             t0s, o0 = small_stream(cfg.tail0, state.tail0, blocks, kh_t0)
             per0 = o0.reshape(q, tb)
-            contrib0 = jnp.concatenate(
-                [state.tail_precalc0[None], per0[:-1]], axis=0
-            )
-            yf = yh + contrib0.reshape(t, b)
+            # one-period delay, slot-wise into the period view (the
+            # concatenate formulation materialized a [T, B] temp the
+            # adder re-read — same fold as the two-period delay's)
+            yq = yh.reshape(q, tb).at[0].add(state.tail_precalc0)
+            if q >= 2:
+                yq = yq.at[1:].add(per0[:-1])
+            yf = yq.reshape(t, b)
             np0 = per0[-1]
             no0 = per0[-2] if q >= 2 else state.tail_precalc0
             return hs, t0s, yf, np0, no0
@@ -699,10 +702,11 @@ def process_stream_aligned(cfg: TwoStageConfig, state: TwoStageState,
             tail0_state, out0 = small_stream(cfg.tail0, state.tail0, blocks,
                                              kh_t0)
             per0 = out0.reshape(q, tb)
-            contrib0 = jnp.concatenate(
-                [state.tail_precalc0[None], per0[:-1]], axis=0
-            )
-            y = y + contrib0.reshape(t, b)
+            # slot-wise one-period delay fold (see _separate)
+            yq = y.reshape(q, tb).at[0].add(state.tail_precalc0)
+            if q >= 2:
+                yq = yq.at[1:].add(per0[:-1])
+            y = yq.reshape(t, b)
             new_precalc0 = per0[-1]
             new_output0 = per0[-2] if q >= 2 else state.tail_precalc0
         else:

@@ -261,8 +261,14 @@ def farm2_update(cfg: two_stage.TwoStageConfig, state: two_stage.TwoStageState,
     stream cores' precondition) by declaring each stage's new IR at full
     stage capacity: ``new_irs`` is zero-padded per stage, and trailing
     zero-spectrum segments are live-but-silent exactly like init's padding
-    (``src/fft_convolver.rs:111-118``), so outputs match per-voice engines
-    that shrank their rings.
+    (``src/fft_convolver.rs:111-118``).  Outputs therefore match per-voice
+    engines updated with the response ZERO-PADDED TO CAPACITY — not the
+    reference's shrinking update, whose smaller ``active_seg_count``
+    re-indexes the ring history (``(current + i) % active``,
+    ``src/fft_convolver.rs:248``) and pairs past input with different lags;
+    the full-capacity form keeps every history block at its true delay
+    (the linear-convolution splice), which is also what the farm's
+    full-ring invariant requires.
 
     Call at a period boundary (``tail_fill == 0``) — the same invariant
     :func:`farm2_stream` keeps.  ``new_irs``: ``[V, L]`` with ``L`` at most
@@ -375,6 +381,113 @@ def farm2_update(cfg: two_stage.TwoStageConfig, state: two_stage.TwoStageState,
         head=head, tail0=tail0, tail=tail,
         tail_output0=zeros_t(), tail_precalc0=zeros_t(),
         tail_output=zeros_t(), tail_precalc=zeros_t(),
+        precalc_pos=pos,
+    )
+
+
+def farm2_update_voices(cfg: two_stage.TwoStageConfig,
+                        state: two_stage.TwoStageState,
+                        voice_idx, new_irs) -> two_stage.TwoStageState:
+    """Per-voice RT-safe IR swap: :func:`farm2_update` semantics for a
+    SUBSET of voices, at O(K/V) of the full rebuild's cost — the
+    fleet-scale form of the reference's cheap ``update`` contract
+    (``src/fft_convolver.rs:174-213``: one client swaps one IR without
+    touching the other hundred).
+
+    ``voice_idx``: ``[K]`` int32 (distinct, in ``[0, V)``; traced OK);
+    ``new_irs``: ``[K, L]`` with ``L`` at most the init capacity.  Only
+    the touched voices' head/tail0 table rows, the big tail's ``K`` column
+    slabs in the fused ``[.., V*B]`` table, and their pending delay-line
+    rows are written; all rings (input history) and the lockstep phase
+    scalars are untouched, so the other voices' streams are bit-identical
+    to a farm that never updated.
+
+    ``precalc_pos`` rows of the touched voices are set to 1: the next
+    :func:`farm2_stream` call suppresses the FIRST period's tail0
+    contribution for exactly those voices (stage-wise update semantics
+    zero the tail0 double-buffer — see :func:`_heads_fused`).
+
+    Call at a period boundary, like :func:`farm2_update`.  Jittable; jit
+    with ``donate_argnums`` on the state so the slab writes land in place.
+    """
+    new_irs = jnp.asarray(new_irs, jnp.float32)
+    voice_idx = jnp.asarray(voice_idx, jnp.int32)
+    k = new_irs.shape[0]
+    ir_len = new_irs.shape[1]
+    tb = cfg.tail_block
+
+    def stage_slice(lo: int, cap: int, total: int) -> jnp.ndarray:
+        sl = new_irs[:, lo: lo + cap]
+        return jnp.pad(sl, ((0, 0), (0, total - sl.shape[1])))
+
+    def stage_update(ucfg: uniform.UniformConfig, stage: uniform.UniformState,
+                     lo: int) -> uniform.UniformState:
+        cap = min(ucfg.ir_len, max(ir_len - lo, 0))
+        padded = stage_slice(lo, cap, ucfg.seg_count * ucfg.block_size)
+        spec = jax.vmap(
+            lambda r: ir_to_spectra(r, ucfg.block_size, ucfg.seg_count)
+        )(padded)                                      # [K, n, 2, B]
+        return stage._replace(
+            segments_ir=stage.segments_ir.at[voice_idx].set(spec),
+            overlap=stage.overlap.at[voice_idx].set(0.0),
+            pre_multiplied=stage.pre_multiplied.at[voice_idx].set(0.0),
+        )
+
+    head = stage_update(cfg.head, state.head, 0)
+    tail0 = (stage_update(cfg.tail0, state.tail0, tb)
+             if cfg.tail0 is not None else state.tail0)
+
+    if cfg.tail is not None:
+        n_t = cfg.tail.seg_count
+        rows = 2 * n_t + uniform.CORR_EXTRA_ROWS
+        ext_idx = jnp.arange(rows) % n_t
+        lo_t = 2 * tb
+        cap_t = min(cfg.tail.ir_len, max(ir_len - lo_t, 0))
+        table = state.tail.segments_ir
+        pre_t = state.tail.pre_multiplied
+        packed = table.dtype == jnp.uint32
+        for j in range(k):
+            ir_j = jnp.pad(new_irs[j, lo_t: lo_t + cap_t],
+                           (0, n_t * tb - cap_t))
+            ext = jnp.take(ir_to_spectra(ir_j, tb, n_t), ext_idx, axis=0)
+            col = voice_idx[j] * tb
+            if packed:
+                table = jax.lax.dynamic_update_slice(
+                    table, pack_c32(ext[:, 0, :], ext[:, 1, :]),
+                    (jnp.asarray(0, jnp.int32), col),
+                )
+            else:
+                # per-plane [1, rows, tb] writes: a [2, rows, L] slab
+                # operand votes the whole table into plane-on-sublanes
+                # (the same layout trap farm2_update documents)
+                for plane in range(2):
+                    table = jax.lax.dynamic_update_slice(
+                        table, ext[:, plane, :][None],
+                        (jnp.asarray(plane, jnp.int32),
+                         jnp.asarray(0, jnp.int32), col),
+                    )
+            pre_t = jax.lax.dynamic_update_slice(
+                pre_t, jnp.zeros((2, tb), jnp.float32),
+                (jnp.asarray(0, jnp.int32), col),
+            )
+        tail = state.tail._replace(
+            segments_ir=table, pre_multiplied=pre_t,
+            overlap=state.tail.overlap.at[voice_idx].set(0.0),
+        )
+    else:
+        tail = state.tail
+
+    def zero_rows(a):
+        return a.at[voice_idx].set(0.0)
+
+    pos = (state.precalc_pos.at[voice_idx].set(1) if cfg.tail is not None
+           else state.precalc_pos)
+    return state._replace(
+        head=head, tail0=tail0, tail=tail,
+        tail_output0=zero_rows(state.tail_output0),
+        tail_precalc0=zero_rows(state.tail_precalc0),
+        tail_output=zero_rows(state.tail_output),
+        tail_precalc=zero_rows(state.tail_precalc),
         precalc_pos=pos,
     )
 
@@ -624,6 +737,25 @@ def farm2_head_khat(cfg: two_stage.TwoStageConfig,
     return causal_conv_khat(kern, m, _PRECISIONS[dft_precision])
 
 
+def farm2_head_khat_voices(cfg: two_stage.TwoStageConfig,
+                           state: two_stage.TwoStageState, t: int,
+                           voice_idx,
+                           dft_precision: str = "highest",
+                           ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """The ``[K]``-voice slab of :func:`farm2_head_khat` — recompute only
+    the voices touched by :func:`farm2_update_voices` and scatter the
+    result into a cached farm-wide khat (``khat_re.at[voice_idx].set``),
+    instead of rebuilding the whole farm's head meta-spectra."""
+    voice_idx = jnp.asarray(voice_idx, jnp.int32)
+    n = cfg.head.seg_count
+    m = next_power_of_two(2 * n - 1 + t)
+    kern = jnp.concatenate(
+        [state.head.segments_ir[voice_idx],
+         state.tail0.segments_ir[voice_idx]], axis=1,
+    )                                             # [K, 2n, 2, B]
+    return causal_conv_khat(kern, m, _PRECISIONS[dft_precision])
+
+
 def _heads_state_out(st_h: uniform.UniformState, st_t0: uniform.UniformState,
                      ext: jnp.ndarray, outs: jnp.ndarray, t: int, n: int,
                      hist0: int):
@@ -667,7 +799,7 @@ def _heads_state_out(st_h: uniform.UniformState, st_t0: uniform.UniformState,
 def _heads_fused(cfg: two_stage.TwoStageConfig,
                  st_h: uniform.UniformState, st_t0: uniform.UniformState,
                  vx: jnp.ndarray, hist_prev: jnp.ndarray,
-                 suppress_first,
+                 suppress_flags,
                  precision=jax.lax.Precision.HIGHEST, khat=None):
     """Fused head+tail0 farm stream over the COMBINED 2n-segment kernel
     (:func:`_combined_head_kernel`): one ring history, one forward/inverse
@@ -686,13 +818,15 @@ def _heads_fused(cfg: two_stage.TwoStageConfig,
     OLA is linear, so one overlap-add chain (the head's ``overlap``)
     serves the sum — exactly as the pre-inverse spectra-level sum did.
 
-    ``suppress_first``: lockstep scalar bool — the call right after
-    :func:`farm2_update`.  Stage-wise update semantics zero the pending
-    tail0 double-buffer, so the first period must get NO tail0
-    contribution; the update zeroed ``hist_prev``'s storage (killing the
-    old-half terms), and a small triangular pass over the ring window
-    (meta size ``2n`` vs the main ``npo2(2n-1+T)``) subtracts the
-    ring-sourced remainder under a ``lax.cond``.
+    ``suppress_flags``: ``[V]`` int32 — voices updated right before this
+    call (1 = updated; :func:`farm2_update` sets all,
+    :func:`farm2_update_voices` a subset).  Stage-wise update semantics
+    zero the pending tail0 double-buffer, so those voices' first period
+    must get NO tail0 contribution; the update zeroed their rows of
+    ``hist_prev``'s storage (killing the old-half terms), and a small
+    triangular pass over the ring window (meta size ``2n`` vs the main
+    ``npo2(2n-1+T)``) subtracts the ring-sourced remainder, masked to the
+    flagged voices, under a ``lax.cond`` on any-flagged.
 
     Farm invariant consumed: full clean lockstep rings.
 
@@ -731,15 +865,18 @@ def _heads_fused(cfg: two_stage.TwoStageConfig,
     def _suppress(c):
         # triangular linear conv of the tail0 table with the ring window:
         # the first period's ring-sourced delayed terms (old-half terms
-        # are already zero — farm2_update zeroed the carry storage)
+        # are already zero — the update zeroed the flagged voices' carry
+        # storage), masked to the updated voices
         ext_w = jnp.concatenate(
             [jnp.zeros((v, n - 1, 2, b), jnp.float32), ring], axis=1
         )                                         # [V, 2n-1, 2, B]
         w = causal_conv_time(ext_w, st_t0.segments_ir, p, precision,
                              m=2 * n)             # [V, p, 2, B]
-        return jnp.concatenate([c[:, :p] - w, c[:, p:]], axis=1)
+        mask = (suppress_flags == 1).astype(jnp.float32)[:, None, None, None]
+        return jnp.concatenate([c[:, :p] - w * mask, c[:, p:]], axis=1)
 
-    conv = jax.lax.cond(suppress_first, _suppress, lambda c: c, conv)
+    conv = jax.lax.cond(jnp.any(suppress_flags == 1), _suppress,
+                        lambda c: c, conv)
     outs = irdft_block(conv, ucfg.fft_size, precision)        # [V, T, 2B]
     tails = jnp.concatenate(
         [st_h.overlap[:, None], outs[:, :-1, b:]], axis=1
@@ -822,10 +959,11 @@ def farm2_stream(cfg: two_stage.TwoStageConfig, state: two_stage.TwoStageState,
     # the old half of the input-spectra window (blocks -(2n-1)..-(n+1)
     # oldest-first) lives in the two period buffers as separate planes —
     # tail_precalc0 = re [V, p*B], tail_output0 = im [V, p*B] (row n-1
-    # zero); and precalc_pos == 1 (lockstep) flags the call right after
-    # farm2_update, which must suppress the first period's tail0
+    # zero); and precalc_pos[i] == 1 flags voice i as updated right
+    # before this call (farm2_update sets all, farm2_update_voices a
+    # subset), which must suppress that voice's first-period tail0
     # contribution (stage-wise update semantics zero the tail0
-    # double-buffer — see _heads_fused's suppress_first).
+    # double-buffer — see _heads_fused's suppress_flags).
     n = cfg.head.seg_count
     hist_prev = jnp.stack(
         [state.tail_precalc0.reshape(v, p, b)[:, : n - 1],
@@ -834,7 +972,7 @@ def farm2_stream(cfg: two_stage.TwoStageConfig, state: two_stage.TwoStageState,
     )                                                   # [V, n-1, 2, B]
     head_state, tail0_state, y, new_hist = _heads_fused(
         cfg, state.head, state.tail0, vx, hist_prev,
-        suppress_first=state.precalc_pos[0] == 1,
+        suppress_flags=state.precalc_pos,
         precision=prec, khat=head_khat,
     )                                                   # y [V, T, B]
     pad_row = ((0, 0), (0, p - (n - 1)), (0, 0))

@@ -166,6 +166,119 @@ def test_reverb_farm_varying_call_lengths():
         )
 
 
+def test_reverb_farm_update_voice_matches_engines():
+    """Per-voice update: the touched voice behaves like a standalone
+    engine that got update_extension; untouched voices are bit-identical
+    to never having updated."""
+    farm, irs, rng = _farm(seed=44)
+    v, b, p = farm.voices, farm.block_size, farm.period
+    t = 2 * p
+    x = rng.standard_normal((3 * t, v, b)).astype(np.float32)
+    new_ir = rng.standard_normal(6000).astype(np.float32) * 0.05
+
+    twin = farm.clone()  # never updated — pins the untouched voices
+    y1 = np.asarray(farm.process(x[:t]))   # populates the khat cache
+    _ = twin.process(x[:t])
+    farm.update_voice(1, new_ir)
+    y2 = np.asarray(farm.process(x[t:2 * t]))
+    y3 = np.asarray(farm.process(x[2 * t:]))
+    z2 = np.asarray(twin.process(x[t:2 * t]))
+    z3 = np.asarray(twin.process(x[2 * t:]))
+
+    # untouched voices: same stream as the never-updated twin
+    keep = [0, 2]
+    np.testing.assert_array_equal(y2[:, keep], z2[:, keep])
+    np.testing.assert_array_equal(y3[:, keep], z3[:, keep])
+
+    # every voice vs its standalone engine.  The farm declares updates at
+    # FULL stage capacity (full clean rings are the farm invariant), so
+    # the per-voice oracle is an engine updated with the response
+    # zero-padded to capacity — a shrinking engine update re-indexes its
+    # ring history (reference shrink semantics), which the farm
+    # deliberately does not reproduce (farm2_update's docstring).
+    for voice in range(v):
+        e = TwoStageFFTConvolver(irs[voice], b, irs.shape[1])
+        r1 = e.process(x[:t, voice].reshape(-1))
+        if voice == 1:
+            e.update_extension(np.pad(new_ir, (0, irs.shape[1] - len(new_ir))))
+        r23 = e.process(x[t:, voice].reshape(-1))
+        np.testing.assert_allclose(
+            np.concatenate([y1[:, voice].reshape(-1),
+                            y2[:, voice].reshape(-1),
+                            y3[:, voice].reshape(-1)]),
+            np.concatenate([r1, r23]), atol=1e-5, err_msg=f"voice {voice}",
+        )
+
+
+def test_reverb_farm_update_voices_subset_and_contracts():
+    """Multi-voice subset update, the all-voices equivalence with the
+    batched update, and the eager contract checks."""
+    import pytest
+
+    farm, irs, rng = _farm(v=4, seed=45)
+    v, b, p = farm.voices, farm.block_size, farm.period
+    t = 2 * p
+    x = rng.standard_normal((2 * t, v, b)).astype(np.float32)
+    new_irs = rng.standard_normal((v, 7000)).astype(np.float32) * 0.05
+
+    # all-voices subset update == batched full update (same stream after)
+    a = farm.clone()
+    bfarm = farm.clone()
+    _ = a.process(x[:t]); _ = bfarm.process(x[:t])
+    a.update_voices(np.arange(v), new_irs)
+    bfarm.update(new_irs)
+    np.testing.assert_allclose(
+        np.asarray(a.process(x[t:])), np.asarray(bfarm.process(x[t:])),
+        atol=1e-6,
+    )
+
+    # subset {0, 3}
+    c = farm.clone()
+    _ = c.process(x[:t])
+    c.update_voices([3, 0], new_irs[[3, 0]])
+    y = np.asarray(c.process(x[t:]))
+    for voice in range(v):
+        e = TwoStageFFTConvolver(irs[voice], b, irs.shape[1])
+        _ = e.process(x[:t, voice].reshape(-1))
+        if voice in (0, 3):
+            e.update_extension(new_irs[voice])
+        r = e.process(x[t:, voice].reshape(-1))
+        np.testing.assert_allclose(
+            y[:, voice].reshape(-1), r, atol=1e-5, err_msg=f"voice {voice}"
+        )
+
+    with pytest.raises(ValueError, match="distinct"):
+        farm.update_voices([1, 1], new_irs[:2])
+    with pytest.raises(ValueError, match="range"):
+        farm.update_voices([v], new_irs[:1])
+    with pytest.raises(ValueError, match="capacity"):
+        farm.update_voice(0, np.zeros(irs.shape[1] + 1, np.float32))
+    with pytest.raises(ValueError, match="expected"):
+        farm.update_voices([0, 1], new_irs[:1])
+
+
+def test_reverb_farm_update_voice_short_ir_farm():
+    """Per-voice update on the short-IR farm (no big tail stage)."""
+    farm, irs, rng = _farm(ir_len=120, seed=46)
+    assert farm.cfg.tail is None
+    v, b, p = farm.voices, farm.block_size, farm.period
+    t = 2 * p
+    x = rng.standard_normal((2 * t, v, b)).astype(np.float32)
+    new_ir = rng.standard_normal(100).astype(np.float32) * 0.05
+    _ = farm.process(x[:t])
+    farm.update_voice(2, new_ir)
+    y = np.asarray(farm.process(x[t:]))
+    for voice in range(v):
+        e = TwoStageFFTConvolver(irs[voice], b, irs.shape[1])
+        _ = e.process(x[:t, voice].reshape(-1))
+        if voice == 2:
+            e.update_extension(new_ir)
+        r = e.process(x[t:, voice].reshape(-1))
+        np.testing.assert_allclose(
+            y[:, voice].reshape(-1), r, atol=1e-5, err_msg=f"voice {voice}"
+        )
+
+
 def test_reverb_farm_long_call():
     """A T = 8-period call (the f32 production shape) exercises the
     delay line's third slot branch: this call's early big-tail outputs
