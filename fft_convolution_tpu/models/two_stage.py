@@ -549,13 +549,26 @@ def _fused_small_streams(cfg, st_h, st_t0, blocks, precalc0, khats):
     return st_h2, st_t02, y, new_precalc0, new_output0
 
 
-# Minimum big-tail blocks per aligned call for the tail to stream through
-# the khat-served time-DFT conv core instead of the sequential ring scan.
-# The ring scan reads the whole ring + a doubled-table window PER BLOCK
-# (~2 x N x fft_size x 4 bytes each step) while the conv core's meta-DFT
-# passes are nearly flat in T (m = next_power_of_two(N - 1 + T) barely
-# moves); below this many blocks the scan's smaller constant wins.
-TAIL_CONV_MIN_BLOCKS = 8
+# Big-tail routing policy: the ring scan reads the whole ring + a
+# doubled-table window PER BLOCK (~2 x N x fft x 4 bytes each step, so
+# scan bytes ~ q * N), while the conv core's meta-DFT passes each cost
+# ~m = next_power_of_two(N - 1 + q) rows and are nearly flat in q.  The
+# conv core wins when q * N >= RATIO * m — measured: the flagship tail
+# (N=57, q=62, m=128: ratio 28) went 1.64 -> 0.76 ms/stream, while the
+# 30 s config at q=8 (N=86, m=128: ratio 5.4) was a wash against the
+# scan (benchmarks/results/r04/exp_config3.log).
+TAIL_CONV_RATIO = 8
+
+
+def tail_uses_conv_core(cfg: TwoStageConfig, t: int) -> bool:
+    """Whether a ``t``-head-block aligned call routes its big tail through
+    the khat-served conv core (see :data:`TAIL_CONV_RATIO`)."""
+    if cfg.tail is None:
+        return False
+    q = t // cfg.period
+    n = cfg.tail.seg_count
+    m = next_power_of_two(n - 1 + q) if n > 1 else next_power_of_two(q)
+    return q * n >= TAIL_CONV_RATIO * m
 
 
 def stream_khats(cfg: TwoStageConfig, state: TwoStageState, t: int):
@@ -567,22 +580,22 @@ def stream_khats(cfg: TwoStageConfig, state: TwoStageState, t: int):
     (:func:`models.uniform.stream_khat`) for the separate-stream paths;
     when the stage configs fuse, ``comb``/``small``/``rec`` are the
     combined 2n-segment kernel's khat and the two small side-pass khats
-    :func:`_fused_small_streams` uses.  When the call covers at least
-    :data:`TAIL_CONV_MIN_BLOCKS` tail periods, ``tail`` is the BIG
-    tail's khat: supplying it flips the tail from the sequential ring
-    scan (whole-ring HBM reads per block) to the batched time-DFT conv
-    core (:func:`models.uniform._stream_conv` via ``kern_hat``), whose
-    traffic is nearly flat in the call length.  Jittable; pass to
-    :func:`process_stream_aligned` as ``khats=``.
+    :func:`_fused_small_streams` uses.  When
+    :func:`tail_uses_conv_core` says the call is long enough, ``tail``
+    is the BIG tail's khat: supplying it flips the tail from the
+    sequential ring scan (whole-ring HBM reads per block) to the batched
+    time-DFT conv core (:func:`models.uniform._stream_conv` via
+    ``kern_hat``), whose traffic is nearly flat in the call length.
+    Jittable; pass to :func:`process_stream_aligned` as ``khats=``.
     """
     out = {
         "head": uniform.stream_khat(cfg.head, state.head, t),
         "t0": (uniform.stream_khat(cfg.tail0, state.tail0, t)
                if cfg.tail0 is not None else None),
     }
-    q = t // cfg.period
-    if cfg.tail is not None and q >= TAIL_CONV_MIN_BLOCKS:
-        out["tail"] = uniform.stream_khat(cfg.tail, state.tail, q)
+    if tail_uses_conv_core(cfg, t):
+        out["tail"] = uniform.stream_khat(cfg.tail, state.tail,
+                                          t // cfg.period)
     if cfg.tail0 is not None and cfg.head == cfg.tail0:
         n = cfg.head.seg_count
         q = t // cfg.period

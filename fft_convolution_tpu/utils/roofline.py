@@ -156,7 +156,7 @@ def two_stage_stream_cost(cfg: two_stage.TwoStageConfig, t: int,
         if cfg.tail0 is not None:
             c += stream_conv_cost(cfg.tail0, t, khat_hoisted)
     if cfg.tail is not None:
-        if khat_hoisted and q >= two_stage.TAIL_CONV_MIN_BLOCKS:
+        if khat_hoisted and two_stage.tail_uses_conv_core(cfg, t):
             c += stream_conv_cost(cfg.tail, q, khat_hoisted=True)
         else:
             c += stream_scan_sliced_cost(cfg.tail, q)

@@ -284,16 +284,18 @@ def test_uniform_big_block_khat_routes_conv_core():
 
 
 def test_two_stage_tail_khat_conv_core_matches():
-    """Aligned streams served with the big-tail khat (>= TAIL_CONV_MIN_BLOCKS
-    periods per call -> conv-core tail) must match the khat-free aligned
-    path (ring-scan tail) across chained calls — the second call's output
-    exposes the first call's tail contribution (two periods delayed) AND
-    the tail ring state the conv core left behind."""
+    """Aligned streams served with the big-tail khat (long-enough calls ->
+    conv-core tail, two_stage.tail_uses_conv_core) must match the
+    khat-free aligned path (ring-scan tail) across chained calls — the
+    second call's output exposes the first call's tail contribution (two
+    periods delayed) AND the tail ring state the conv core left behind."""
     rng = np.random.default_rng(64)
     ir = rng.standard_normal(150000).astype(np.float32) * 0.02
     cfg, state = two_stage.init(ir, 64, len(ir))
     assert cfg.tail is not None and cfg.tail.block_size > 2048
-    t = two_stage.TAIL_CONV_MIN_BLOCKS * cfg.period
+    q = next(q for q in range(1, 65)
+             if two_stage.tail_uses_conv_core(cfg, q * cfg.period))
+    t = q * cfg.period
     khs = jax.jit(functools.partial(two_stage.stream_khats, cfg),
                   static_argnums=(1,))(state, t)
     assert "tail" in khs, "tail khat missing at the conv-core threshold"
@@ -310,7 +312,9 @@ def test_two_stage_tail_khat_conv_core_matches():
     np.testing.assert_allclose(np.asarray(ya2), np.asarray(yb2),
                                atol=1e-5 * max(scale, 1.0))
     for a, b in zip(jax.tree.leaves(sa), jax.tree.leaves(sb)):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+        b = np.asarray(b)
+        tol = 1e-5 * max(float(np.abs(b).max()) if b.size else 1.0, 1.0)
+        np.testing.assert_allclose(np.asarray(a), b, atol=tol)
 
 
 def test_irdft_pair_matches_interleaved():
