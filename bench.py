@@ -381,10 +381,17 @@ def main() -> None:
             _ = float(v)
         return run
 
-    # floor: a full 2048-block stream moves >150 MB through HBM — a slope
-    # under 0.2 ms/stream is physically impossible (link noise artifact)
+    # floor: the stream's algorithmic byte requirement over peak HBM
+    # bandwidth — a slope below it is physically impossible (link noise
+    # artifact).  Computed, not hard-coded: r04's conv-core tail + direct
+    # meta-DFT brought the real stream within ~25% of this bound, so a
+    # stale constant would start discarding VALID windows.
+    from fft_convolution_tpu.utils import roofline as _rl
+
+    floor_s = (_rl.two_stage_stream_cost(cfg, t_blocks).bytes
+               / _rl.PEAK_HBM_BPS) * 0.5
     wall, (t_1, t_2) = slope_timed(build_stream_runner, c1, c2, "stream xRT",
-                                   samples=4, min_slope_s=2e-4,
+                                   samples=4, min_slope_s=floor_s,
                                    sample_pause_s=30.0)
     audio = t_blocks * block / sr
     xrt = audio / wall

@@ -58,8 +58,14 @@ def main() -> None:
     mac = "jnp" if jax.devices()[0].platform != "tpu" else "pallas"
     print(f"V={voices} n={n} p={p} T={t} mac={mac}", flush=True)
 
+    # ONE pristine heads copy for the parity outputs: the timing arms
+    # THREAD (mutate) `state`, so per-arm copies taken inside the loop
+    # would sit at different stream positions and the divergence would
+    # measure stream position, not precision (the r03 log's 7.6e-1
+    # "divergence" was exactly that artifact)
+    heads_parity = jax.tree.map(jnp.copy, (state.head, state.tail0))
     outs = {}
-    for prec in ("highest", "high"):
+    for prec in ("highest", "high", "bf16"):
         khat = jax.jit(
             functools.partial(farm2.farm2_head_khat, cfg, dft_precision=prec),
             static_argnums=(1,),
@@ -74,11 +80,10 @@ def main() -> None:
             )
             return (st_h2, st_t02), y
 
-        heads0 = jax.tree.map(jnp.copy, (state.head, state.tail0))
         # keep the head output ON DEVICE: the divergence is fetched as a
-        # scalar at the end (bulk device->host fetches crawl via the relay)
-        outs[prec] = jax.jit(combined)(heads0, x, khat)[1]
-        del heads0
+        # scalar at the end (bulk device->host fetches crawl via the relay);
+        # no donation in this jit, so the shared pristine copy is safe
+        outs[prec] = jax.jit(combined)(heads_parity, x, khat)[1]
         wall_h, _ = slope_time_threaded(
             combined, jax.tree.map(jnp.copy, (state.head, state.tail0)),
             x, aux=khat,
@@ -98,8 +103,10 @@ def main() -> None:
 
     scale = float(jnp.maximum(jnp.max(jnp.abs(outs["highest"])), 1e-30))
     div = float(jnp.max(jnp.abs(outs["high"] - outs["highest"])))
+    div_bf = float(jnp.max(jnp.abs(outs["bf16"] - outs["highest"])))
     print(f"head output divergence high vs highest: "
-          f"{div:.3e} abs, {div / scale:.3e} rel", flush=True)
+          f"{div:.3e} abs, {div / scale:.3e} rel; bf16 vs highest: "
+          f"{div_bf / scale:.3e} rel", flush=True)
 
 
 if __name__ == "__main__":

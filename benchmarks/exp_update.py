@@ -113,7 +113,13 @@ def main():
         return chainedv
 
     chainedv = build_chainedv()
-    for k in (1, 8):
+    # one K per run by default: a second K retraces a new multi-GB-aliased
+    # executable next to the live state, which OOM'd the V=128 chip
+    ks = [1]
+    for i, a in enumerate(sys.argv):
+        if a == "--k":
+            ks = [int(sys.argv[i + 1])]
+    for k in ks:
         if k > voices:
             continue
         vi = jnp.asarray(np.arange(k), jnp.int32)

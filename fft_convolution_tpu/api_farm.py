@@ -59,9 +59,13 @@ class ReverbFarm:
         extra operand casts cost more than the passes save
         (benchmarks/exp_taildft, 2026-08-18: 24.7 vs 23.3 ms).  The knob
         stays for other shapes; any explicit
-        :data:`parallel.farm2._PRECISIONS` key is accepted.  Head stages
-        always run at "highest" — the early response is the parity
-        story.
+        :data:`parallel.farm2._PRECISIONS` key is accepted.
+    dft_precision : precision spec for the HEAD stages (block DFTs,
+        combined-kernel meta-DFTs, cached khat) — "auto" resolves to
+        "highest": the early response is the engine's parity story.
+        "bf16" is the opt-in throughput tier pairing with
+        ``tail_dtype=bfloat16`` (~6e-3 relative on the head+tail0
+        contribution, benchmarks/exp_headprec).
     mesh : optional ``jax.sharding.Mesh`` with a ``"dp"`` axis — the
         state shards over voices (``V`` must divide by the mesh size).
         Composes with the Pallas tail kernel: the stream then runs under
@@ -72,7 +76,8 @@ class ReverbFarm:
 
     def __init__(self, irs, block_size: int, max_response_length: int,
                  *, tail_dtype=jnp.float32, tail_mac: str = "auto",
-                 tail_dft_precision: str = "auto", mesh=None):
+                 tail_dft_precision: str = "auto",
+                 dft_precision: str = "auto", mesh=None):
         irs = np.asarray(irs, np.float32)
         if irs.ndim != 2:
             raise ValueError("irs must be [voices, ir_len]")
@@ -91,6 +96,20 @@ class ReverbFarm:
                 f"{sorted(farm2._PRECISIONS)} (or 'auto')"
             )
         self._tail_dft_precision = tail_dft_precision
+        # head-stage transform precision (forward/inverse block DFTs, the
+        # combined-kernel meta-DFTs, and the cached khat): "auto" ->
+        # "highest" — the early response is the engine's parity story.
+        # "bf16" (operands/intermediates bf16, ops/fft._mm_mode) is the
+        # opt-in throughput tier pairing with tail_dtype=bfloat16: ~6e-3
+        # relative on the head+tail0 contribution (benchmarks/exp_headprec)
+        if dft_precision == "auto":
+            dft_precision = "highest"
+        if dft_precision not in farm2._PRECISIONS:
+            raise ValueError(
+                f"dft_precision {dft_precision!r} not one of "
+                f"{sorted(farm2._PRECISIONS)} (or 'auto')"
+            )
+        self._dft_precision = dft_precision
         if mesh is not None and "dp" not in mesh.axis_names:
             raise ValueError("farm mesh needs a 'dp' axis")
         if mesh is not None and irs.shape[0] % mesh.size != 0:
@@ -131,11 +150,13 @@ class ReverbFarm:
             stream_fn = functools.partial(
                 farm2.farm2_stream_sharded, mesh, self.cfg,
                 tail_mac=tail_mac,
+                dft_precision=dft_precision,
                 tail_dft_precision=tail_dft_precision,
             )
         else:
             stream_fn = functools.partial(
                 farm2.farm2_stream, self.cfg, tail_mac=tail_mac,
+                dft_precision=dft_precision,
                 tail_dft_precision=tail_dft_precision,
             )
         self._stream = jax.jit(stream_fn, donate_argnums=(0,))
@@ -150,14 +171,16 @@ class ReverbFarm:
             donate_argnums=(0,),
         )
         self._khat_voices_jit = jax.jit(
-            functools.partial(farm2.farm2_head_khat_voices, self.cfg),
+            functools.partial(farm2.farm2_head_khat_voices, self.cfg,
+                              dft_precision=dft_precision),
             static_argnums=(1,),
         )
         # head-kernel meta-spectra (farm2_head_khat), cached per meta-DFT
         # length m: input-independent between IR updates, and recomputing
         # it inline was a third of the head MAC's matmul work per call
         self._khat_fn = jax.jit(
-            functools.partial(farm2.farm2_head_khat, self.cfg),
+            functools.partial(farm2.farm2_head_khat, self.cfg,
+                              dft_precision=dft_precision),
             static_argnums=(1,),
         )
         self._khat_cache = {}

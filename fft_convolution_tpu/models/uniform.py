@@ -785,6 +785,84 @@ def stream_conv_farm(cfg: UniformConfig, state: UniformState,
     return new_state, ys
 
 
+# ---------------------------------------------------------------------------
+# stream-core decision tree (authoritative; DESIGN.md §4b renders the table)
+# ---------------------------------------------------------------------------
+#
+# The file carries seven stream cores because three orthogonal axes each
+# fork the fast path: STATE CONVENTION (standard ring / rebased ring /
+# phased ring), GUARDING (in-jit safety conds vs unguarded preconditions a
+# vmapping caller must own), and MAC FORMULATION (sequential scan vs
+# time-DFT conv vs correlation windows).  choose_stream_core() encodes
+# which core serves which regime; the unguarded cores ASSERT their static
+# preconditions where they can (call-length bounds) and document the
+# runtime ones (full clean ring) here and in their docstrings.
+
+STREAM_CORES = {
+    "process_stream_scan": "semantic reference; any state; slow (per-block "
+                           "dispatch latency dominates)",
+    "process_stream": "guarded dispatcher — use this unless vmapping: conv "
+                      "core when block <= 2048 and T >= 8 or a kern_hat is "
+                      "supplied, exact ring scan otherwise / for shrunk-ring "
+                      "transients",
+    "stream_scan_unguarded": "hoisted-DFT gather ring scan; tolerates "
+                             "active < seg_count; no safety conds (vmap-"
+                             "safe); few-segment engines (gathers cheap)",
+    "stream_scan_sliced_unguarded": "hoisted-DFT sliced ring scan (doubled "
+                                    "IR table, no gathers); REQUIRES full "
+                                    "clean ring; 2x IR memory transient",
+    "stream_conv_unguarded": "time-DFT conv core; REQUIRES full clean "
+                             "ring; the vmapped-farm small-stage core",
+    "stream_corr_rebased_unguarded": "correlation windows on a REBASED ring "
+                                     "(current == 0, [N+E] extended table); "
+                                     "T <= min(N, CORR_EXTRA_ROWS); rolls "
+                                     "the ring back each call",
+    "stream_corr_phased_unguarded": "correlation windows, roll-free PHASED "
+                                    "ring ([2N+E] doubled table, phase in "
+                                    "current); T <= min(N, CORR_EXTRA_ROWS); "
+                                    "the farm big-tail core's single-voice "
+                                    "form",
+}
+
+
+def choose_stream_core(cfg: UniformConfig, t: int, *,
+                       batched: bool = False,
+                       full_clean_ring: bool = False,
+                       ring_convention: str = "standard",
+                       kern_hat: bool = False) -> str:
+    """Name of the preferred stream core for a ``t``-block call.
+
+    ``batched``: the caller vmaps over voices (lockstep scalars), so
+    in-jit safety conds are off the table (vmap executes both branches).
+    ``full_clean_ring``: the caller guarantees ``active == seg_count and
+    current < active`` (any engine never shrunk by ``update``).
+    ``ring_convention``: ``"standard"`` | ``"rebased"`` | ``"phased"`` —
+    the corr cores require their own state layout (extended IR tables),
+    chosen at init by the farm.
+    ``kern_hat``: a precomputed :func:`stream_khat` is supplied.
+
+    Mirrors the live dispatch in :func:`process_stream` (whose guarded
+    cond this function cannot replace — it answers "which core WILL/"
+    "should run", for callers wiring unguarded paths and for tests).
+    """
+    if ring_convention in ("rebased", "phased"):
+        if not (full_clean_ring and t <= min(cfg.seg_count, CORR_EXTRA_ROWS)):
+            raise ValueError(
+                "corr cores require a full clean ring and "
+                f"T <= min(seg_count, {CORR_EXTRA_ROWS})"
+            )
+        return ("stream_corr_phased_unguarded" if ring_convention == "phased"
+                else "stream_corr_rebased_unguarded")
+    if not batched and not full_clean_ring:
+        return "process_stream"   # guarded dispatcher owns the safety conds
+    use_conv = (cfg.block_size <= 2048 and t >= 8) or kern_hat
+    if use_conv and full_clean_ring:
+        return "stream_conv_unguarded"
+    if full_clean_ring:
+        return "stream_scan_sliced_unguarded"
+    return "stream_scan_unguarded"
+
+
 def process_stream(cfg: UniformConfig, state: UniformState,
                    blocks: jnp.ndarray,
                    kern_hat=None) -> Tuple[UniformState, jnp.ndarray]:

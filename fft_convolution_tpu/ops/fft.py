@@ -303,25 +303,66 @@ def _irdft_4step_pair(p_re: jnp.ndarray, p_im: jnp.ndarray, n: int,
     return jnp.stack([even, odd], axis=-1).reshape(p_re.shape[:-1] + (n,))
 
 
+# Largest meta-DFT done as ONE direct complex matmul along axis -2.  The
+# 4-step costs ~16*m*sqrt(m) flops/lane vs the direct's 8*m^2 (sqrt(m)/2
+# more), but materializes THREE serialized stage temps of the full
+# [..., m, L] array; below this m the direct path's single full-contraction
+# matmul (128+-wide MXU contraction dim) plus one in/out pass wins — the
+# flagship tail meta (m=128, L=8192) and the two-stage side passes live
+# here.  At HIGHEST precision's 6 passes the flop ratio flips the win
+# above ~256.
+_DIRECT_META_MAX = 256
+
+
+def _cdft_direct_axis2(re: jnp.ndarray, im: jnp.ndarray, m: int, sign: float,
+                       precision, scale: float,
+                       out_rows: tuple[int, int] | None,
+                       ) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Direct complex DFT along axis -2: 4 real matmuls against the
+    [m, m] f64-built basis (rows sliced to ``out_rows``)."""
+    hp, od = _mm_mode(precision)
+    c, s = _dft_mats(m, sign)
+    if out_rows is not None:
+        r_lo, r_cnt = out_rows
+        c = c[r_lo: r_lo + r_cnt]
+        s = s[r_lo: r_lo + r_cnt]
+    c = _opcast(jnp.asarray(np.float32(scale) * c), od)
+    s = _opcast(jnp.asarray(np.float32(scale) * s), od)
+    a_re, a_im = _opcast(re, od), _opcast(im, od)
+
+    def mm(mat, arr):  # [k, i] x [..., i, L] -> [..., k, L]
+        return jnp.einsum("ki,...il->...kl", mat, arr,
+                          preferred_element_type=jnp.float32, precision=hp)
+
+    out_re = mm(c, a_re) - mm(s, a_im)
+    out_im = mm(s, a_re) + mm(c, a_im)
+    return out_re, out_im
+
+
 def _cdft4_axis2(re: jnp.ndarray, im: jnp.ndarray, m: int, sign: float,
                  precision=jax.lax.Precision.HIGHEST,
                  scale: float = 1.0,
                  factors: tuple[int, int] | None = None,
                  out_rows: tuple[int, int] | None = None,
                  ) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Complex 4-step DFT of length ``m`` (power of two) along axis -2 of
-    ``[..., m, L]`` arrays — every stage an MXU matmul over the time axis,
-    lanes untouched.  Unnormalized; ``sign=-1`` forward, ``+1`` inverse.
+    """Complex DFT of length ``m`` (power of two) along axis -2 of
+    ``[..., m, L]`` arrays — one direct basis matmul up to
+    ``_DIRECT_META_MAX``, Bailey 4-step above it (every stage an MXU
+    matmul over the time axis, lanes untouched).  Unnormalized;
+    ``sign=-1`` forward, ``+1`` inverse.
     ``scale`` folds a normalization (e.g. the inverse's 1/m) into the
     final-stage matrices — saves a whole-array pass per call.
     ``factors``: override the (n1, n2) split (``benchmarks/exp_metafac``
-    A/Bs MXU efficiency across splits; default near-sqrt — measured best).
+    A/Bs MXU efficiency across splits; default near-sqrt — measured best);
+    forcing factors also forces the 4-step path.
     ``out_rows``: ``(start, count)`` — produce ONLY output rows
     ``[start, start + count)``.  Output row ``k1*n2 + k2`` lives in final-
     stage column ``k1``, so a row range needs only ``ceil``-covering k1
     columns: the final matmuls, their twiddled operand's last write, and
     the swap-relayout all shrink proportionally (the overlap-save callers
     keep ~half the rows — see ``causal_conv_time``)."""
+    if factors is None and m <= _DIRECT_META_MAX:
+        return _cdft_direct_axis2(re, im, m, sign, precision, scale, out_rows)
     n1, n2 = _split_factors(m) if factors is None else factors
     assert n1 * n2 == m, (n1, n2, m)
     batch = re.shape[:-2]

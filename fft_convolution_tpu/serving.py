@@ -244,14 +244,23 @@ class PallasStreamingConvolver:
     (``src/fft_convolver.rs:111-118``).
     """
 
+    # Padded segment count at/above which the grid-streaming kernel's
+    # packed-bf16 IR tables beat f32 under storage="auto": the kernel
+    # streams the whole table from HBM every block, so packing halves the
+    # dominant traffic, but the unpack adds VPU issue that wins at
+    # smaller N.  Measured crossover on TPU v5e
+    # (benchmarks/exp_packed_crossover, results/r04).
+    PACKED_MIN_SEGS = 8192
+
     def __init__(self, response, block_size: int, max_response_length: int,
                  chunk: int = 512, interpret: bool | None = None,
                  storage: str = "float32"):
         from .ops import pallas_stream
 
-        if storage not in ("float32", "bf16_packed"):
-            raise ValueError("storage must be 'float32' or 'bf16_packed'")
-        self._packed = storage == "bf16_packed"
+        if storage not in ("float32", "bf16_packed", "auto"):
+            raise ValueError(
+                "storage must be 'float32', 'bf16_packed', or 'auto'"
+            )
         response = np.asarray(response, np.float32)
         if max_response_length < response.shape[0]:
             raise ValueError(
@@ -268,6 +277,10 @@ class PallasStreamingConvolver:
             )
         self.cfg = uniform.make_config(block_size, n * cfg0.block_size)
         assert self.cfg.seg_count == n
+        if storage == "auto":
+            storage = ("bf16_packed" if n >= self.PACKED_MIN_SEGS
+                       else "float32")
+        self._packed = storage == "bf16_packed"
         if interpret is None:
             interpret = jax.devices()[0].platform != "tpu"
         self._interpret = interpret
@@ -557,8 +570,18 @@ class PallasFFTConvolver:
                  interpret: bool | None = None, storage: str = "float32"):
         response = np.asarray(response, np.float32)
         self.cfg = uniform.make_config(block_size, max_response_length)
-        if storage not in ("float32", "bf16_packed"):
-            raise ValueError("storage must be 'float32' or 'bf16_packed'")
+        if storage not in ("float32", "bf16_packed", "auto"):
+            raise ValueError(
+                "storage must be 'float32', 'bf16_packed', or 'auto'"
+            )
+        if storage == "auto":
+            # measured policy (benchmarks/exp_packed_crossover): the f32
+            # step is FASTER wherever it fits VMEM (the unpack's VPU issue
+            # outweighs the halved DMA at in-VMEM segment counts); packing
+            # earns its keep by fitting ~2x the IR, so auto = f32 when it
+            # fits, packed when only packed fits
+            storage = ("float32" if pallas_engine.fits_vmem(self.cfg)
+                       else "bf16_packed")
         self._packed = storage == "bf16_packed"
         fits = (pallas_engine.fits_vmem_packed if self._packed
                 else pallas_engine.fits_vmem)

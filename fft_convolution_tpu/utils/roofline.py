@@ -56,9 +56,17 @@ def _rdft_cost(batch: int, n: int) -> Cost:
 
 
 def _cdft4_cost(batch: int, m: int, lanes: int) -> Cost:
-    """One complex 4-step DFT along a length-m axis with ``lanes`` lanes
-    (ops.fft._cdft4_axis2): 8 matmul-equivalents over the split factors
-    plus the twiddle multiply."""
+    """One complex meta-DFT along a length-m axis with ``lanes`` lanes
+    (ops.fft._cdft4_axis2): a direct basis matmul up to
+    ``_DIRECT_META_MAX`` (one in+out pass), else 8 matmul-equivalents
+    over the split factors plus the twiddle multiply."""
+    from ..ops.fft import _DIRECT_META_MAX
+
+    if m <= _DIRECT_META_MAX:
+        return Cost(
+            flops=batch * lanes * 8.0 * m * m,
+            bytes=4.0 * batch * (m * lanes * 2 * 2),
+        )
     n1, n2 = _split_factors(m)
     flops = batch * lanes * (8.0 * m * (n1 + n2) + 6.0 * m)
     # read re+im in, write re+im out, plus one twiddle-sized temp pass

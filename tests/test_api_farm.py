@@ -279,6 +279,23 @@ def test_reverb_farm_update_voice_short_ir_farm():
         )
 
 
+def test_reverb_farm_head_dft_precision_bf16():
+    """The opt-in bf16 head-transform tier tracks the highest-precision
+    farm within its documented ~1e-2 relative tolerance, and bogus
+    precision specs raise eagerly."""
+    farm, irs, rng = _farm(seed=47)
+    fast = ReverbFarm(irs, 64, irs.shape[1], dft_precision="bf16",
+                      tail_dtype=jnp.bfloat16)
+    v, b, p = farm.voices, farm.block_size, farm.period
+    x = rng.standard_normal((2 * p, v, b)).astype(np.float32)
+    ya = np.asarray(farm.process(x))
+    yb = np.asarray(fast.process(x))
+    rel = np.abs(ya - yb).max() / max(np.abs(ya).max(), 1e-30)
+    assert rel < 2e-2, rel
+    with pytest.raises(ValueError, match="dft_precision"):
+        ReverbFarm(irs, 64, irs.shape[1], dft_precision="bogus")
+
+
 def test_reverb_farm_long_call():
     """A T = 8-period call (the f32 production shape) exercises the
     delay line's third slot branch: this call's early big-tail outputs

@@ -317,6 +317,53 @@ def test_two_stage_tail_khat_conv_core_matches():
         np.testing.assert_allclose(np.asarray(a), b, atol=tol)
 
 
+def test_choose_stream_core_decision_tree():
+    """The chooser mirrors the live dispatch and refuses the unguarded
+    corr cores unless their state-convention preconditions are declared;
+    the corr cores themselves assert their call-length bound."""
+    import pytest
+
+    choose = uniform.choose_stream_core
+    cfg_small = uniform.make_config(64, 3000)      # block 64, conv regime
+    cfg_big = uniform.make_config(8192, 500000)    # two-stage tail regime
+
+    # guarded dispatcher unless the caller owns the preconditions
+    assert choose(cfg_small, 32) == "process_stream"
+    # vmapped lockstep farm: conv core at small blocks, sliced scan at big
+    assert choose(cfg_small, 32, batched=True,
+                  full_clean_ring=True) == "stream_conv_unguarded"
+    assert choose(cfg_big, 4, batched=True,
+                  full_clean_ring=True) == "stream_scan_sliced_unguarded"
+    # a kern_hat flips huge blocks onto the conv core (the r04 tail route)
+    assert choose(cfg_big, 62, full_clean_ring=True,
+                  kern_hat=True) == "stream_conv_unguarded"
+    # shrunk-ring vmapped engines: gather scan tolerates active < N
+    assert choose(cfg_small, 4, batched=True) == "stream_scan_unguarded"
+    # corr cores need their own state layout + the static T bound
+    assert choose(cfg_big, 8, full_clean_ring=True,
+                  ring_convention="phased"
+                  ) == "stream_corr_phased_unguarded"
+    assert choose(cfg_big, 8, full_clean_ring=True,
+                  ring_convention="rebased"
+                  ) == "stream_corr_rebased_unguarded"
+    with pytest.raises(ValueError, match="corr cores"):
+        choose(cfg_big, 8, ring_convention="phased")  # no clean-ring claim
+    with pytest.raises(ValueError, match="corr cores"):
+        choose(cfg_big, uniform.CORR_EXTRA_ROWS + 1, full_clean_ring=True,
+               ring_convention="phased")
+
+    # the corr cores enforce the same bound at trace time
+    rng = np.random.default_rng(70)
+    ir = rng.standard_normal(64 * 5).astype(np.float32)
+    cfg, state = uniform.init(ir, 64, len(ir))
+    x = jnp.asarray(rng.standard_normal(
+        (uniform.CORR_EXTRA_ROWS + 1, 64)).astype(np.float32))
+    with pytest.raises(AssertionError, match="correlation core"):
+        uniform.stream_corr_phased_unguarded(cfg, state, x)
+    with pytest.raises(AssertionError, match="correlation core"):
+        uniform.stream_corr_rebased_unguarded(cfg, state, x)
+
+
 def test_irdft_pair_matches_interleaved():
     """irdft_pair (planes taken separately — what the fused-voice farm
     tail hands it) must equal irdft_block on the interleaved [..., 2, B]
