@@ -332,10 +332,15 @@ def config5_reverb_farm(voices: int = 1024, ir_seconds: int = 60,
     # serve with the precomputed head-kernel meta-DFT, as ReverbFarm does
     # (khat is input-independent between IR updates); it rides as a traced
     # argument — see _chain_time's aux note
-    khat = jax.jit(functools.partial(farm2.farm2_head_khat, cfg),
+    # packed farms default to the bf16 head-transform tier, like
+    # ReverbFarm's dft_precision="auto" (exp_headprec r04: +26% rt voices)
+    prec = "bf16" if tail_item == 2 else "highest"
+    khat = jax.jit(functools.partial(farm2.farm2_head_khat, cfg,
+                                     dft_precision=prec),
                    static_argnums=(1,))(state, t)
     wall = _chain_time(
         lambda st, xs, kh: farm2.farm2_stream(cfg, st, xs, tail_mac=mac,
+                                              dft_precision=prec,
                                               head_khat=kh),
         state, x, chain=2, aux=khat, samples=3,
     )

@@ -38,22 +38,36 @@ def main() -> None:
     cfg, state = two_stage.init(ir, 128, len(ir))
     print(f"tail_block={cfg.tail_block} period={cfg.period} blocks", flush=True)
 
+    from fft_convolution_tpu.models import uniform
+
     for mult in (2, 4, 8):
         t = mult * cfg.period
         x = jnp.asarray(rng.standard_normal((t, 128)).astype(np.float32))
-        # _chain_time donates its state — give each stream length its own
-        st0 = jax.tree.map(jnp.copy, state)
-        khats = jax.jit(functools.partial(two_stage.stream_khats, cfg),
-                        static_argnums=(1,))(st0, t)
-        wall = _chain_time(
-            lambda st, xs, kh: two_stage.process_stream_aligned(
-                cfg, st, xs, khats=kh),
-            st0, x, aux=khats, samples=2, sample_pause_s=10.0,
-        )
         audio = t * 128 / SR
-        print(f"T={mult}p ({t:4d} blk): {wall * 1e3:7.3f} ms/stream  "
-              f"xRT {audio / wall:7.0f}  {wall / t * 1e6:6.2f} us/blk",
-              flush=True)
+        # A/B the big-tail core same-window: policy khats (scan tail below
+        # the q*N >= 8m threshold) vs a FORCED tail khat (conv-core tail)
+        for name, force in (("policy", False), ("conv-tail", True)):
+            st0 = jax.tree.map(jnp.copy, state)
+            khats = jax.jit(functools.partial(two_stage.stream_khats, cfg),
+                            static_argnums=(1,))(st0, t)
+            if force:
+                if "tail" in khats:
+                    print(f"T={mult}p: policy already conv — skip forced",
+                          flush=True)
+                    continue
+                khats["tail"] = jax.jit(
+                    functools.partial(uniform.stream_khat, cfg.tail),
+                    static_argnums=(1,),
+                )(st0.tail, t // cfg.period)
+            wall = _chain_time(
+                lambda st, xs, kh: two_stage.process_stream_aligned(
+                    cfg, st, xs, khats=kh),
+                st0, x, aux=khats, samples=2, sample_pause_s=10.0,
+            )
+            print(f"T={mult}p ({t:4d} blk) {name:9s}: "
+                  f"{wall * 1e3:7.3f} ms/stream  "
+                  f"xRT {audio / wall:7.0f}  {wall / t * 1e6:6.2f} us/blk",
+                  flush=True)
 
 
 if __name__ == "__main__":

@@ -12,7 +12,7 @@ taken on the stacked head path; with the combined 2n-segment kernel now
 and prints the HIGH-vs-HIGHEST output divergence (the farm's contract is
 1e-5 abs on unit-scale audio; HIGH is only shippable if parity holds).
 
-Usage: python -m benchmarks.exp_headprec [--voices N] [--cpu]
+Usage: python -m benchmarks.exp_headprec [--voices N] [--bf16] [--cpu]
 """
 
 from __future__ import annotations
@@ -48,7 +48,9 @@ def main() -> None:
     rng = np.random.default_rng(11)
     irs = (rng.standard_normal((voices, ir_seconds * SR)) * 0.002
            ).astype(np.float32)
-    cfg, state = farm2.farm2_init(irs, block, ir_seconds * SR)
+    dtype = jnp.bfloat16 if "--bf16" in sys.argv else jnp.float32
+    cfg, state = farm2.farm2_init(irs, block, ir_seconds * SR,
+                                  tail_dtype=dtype)
     p = cfg.period
     t = 2 * p
     audio = t * block / SR
@@ -56,7 +58,7 @@ def main() -> None:
     n = cfg.head.seg_count
     hist0 = jnp.zeros((voices, n - 1, 2, block), jnp.float32)
     mac = "jnp" if jax.devices()[0].platform != "tpu" else "pallas"
-    print(f"V={voices} n={n} p={p} T={t} mac={mac}", flush=True)
+    print(f"V={voices} n={n} p={p} T={t} mac={mac} tail={np.dtype(dtype).name}", flush=True)
 
     # ONE pristine heads copy for the parity outputs: the timing arms
     # THREAD (mutate) `state`, so per-arm copies taken inside the loop

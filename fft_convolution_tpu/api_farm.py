@@ -98,12 +98,17 @@ class ReverbFarm:
         self._tail_dft_precision = tail_dft_precision
         # head-stage transform precision (forward/inverse block DFTs, the
         # combined-kernel meta-DFTs, and the cached khat): "auto" ->
-        # "highest" — the early response is the engine's parity story.
-        # "bf16" (operands/intermediates bf16, ops/fft._mm_mode) is the
-        # opt-in throughput tier pairing with tail_dtype=bfloat16: ~6e-3
-        # relative on the head+tail0 contribution (benchmarks/exp_headprec)
+        # "highest" for f32 farms (the early response is the engine's
+        # parity story) and "bf16" for plane-packed bf16 farms — that mode
+        # IS the opt-in throughput tier, and bf16 head transforms measured
+        # heads 8.2 -> 5.1 ms / full call 24.5 -> 19.4 ms (+26% rt voices)
+        # at V=128 in one window (benchmarks/results/r04/exp_headprec.log)
+        # at ~6e-3 relative on the head+tail0 contribution.  Pass
+        # dft_precision="highest" for parity-exact heads over a packed
+        # tail.
         if dft_precision == "auto":
-            dft_precision = "highest"
+            dft_precision = ("bf16" if tail_dtype == jnp.bfloat16
+                             else "highest")
         if dft_precision not in farm2._PRECISIONS:
             raise ValueError(
                 f"dft_precision {dft_precision!r} not one of "

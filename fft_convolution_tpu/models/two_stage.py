@@ -553,11 +553,12 @@ def _fused_small_streams(cfg, st_h, st_t0, blocks, precalc0, khats):
 # doubled-table window PER BLOCK (~2 x N x fft x 4 bytes each step, so
 # scan bytes ~ q * N), while the conv core's meta-DFT passes each cost
 # ~m = next_power_of_two(N - 1 + q) rows and are nearly flat in q.  The
-# conv core wins when q * N >= RATIO * m — measured: the flagship tail
-# (N=57, q=62, m=128: ratio 28) went 1.64 -> 0.76 ms/stream, while the
-# 30 s config at q=8 (N=86, m=128: ratio 5.4) was a wash against the
-# scan (benchmarks/results/r04/exp_config3.log).
-TAIL_CONV_RATIO = 8
+# conv core wins when q * N >= RATIO * m — measured (same-window A/Bs,
+# benchmarks/results/r04/exp_config3_ab.log, with the direct small-meta
+# path): the 30 s config's tail (N=86, m=128) flips at q=8 (ratio 5.4,
+# conv 0.655 vs scan 0.758 ms) but not q=4 (ratio 2.7, conv 2x slower);
+# the flagship tail (N=57, q=62, m=128: ratio 28) was a 2.2x stream win.
+TAIL_CONV_RATIO = 5
 
 
 def tail_uses_conv_core(cfg: TwoStageConfig, t: int) -> bool:
