@@ -39,8 +39,13 @@ BLOCK = 128
 
 
 def slope(step_fn, state0, xs1, xs2):
-    """Best-of-3 two-point slope of a scanned per-block step chain."""
+    """Two-point slope of a scanned per-block step chain with the relay
+    hygiene of bench.slope_timed (intercept validation + physical floor +
+    retries — plain best-of-3 returned negative deltas in degraded
+    windows)."""
     import functools
+
+    from bench import slope_timed
 
     @functools.partial(jax.jit, static_argnums=())
     def chain(st, xs):
@@ -51,19 +56,19 @@ def slope(step_fn, state0, xs1, xs2):
         sf, sums = jax.lax.scan(body, st, xs)
         return sf, jnp.sum(sums)
 
-    def best(xs):
-        _, v = chain(state0, xs)
-        _ = float(v)
-        b = float("inf")
-        for _ in range(3):
-            t0 = time.perf_counter()
+    def build(c):
+        xs = {xs1.shape[0]: xs1, xs2.shape[0]: xs2}[c]
+
+        def run():
             _, v = chain(state0, xs)
             _ = float(v)
-            b = min(b, time.perf_counter() - t0)
-        return b
 
-    t1, t2 = best(xs1), best(xs2)
-    return max((t2 - t1) / (xs2.shape[0] - xs1.shape[0]), 1e-9)
+        return run
+
+    w, _raw = slope_timed(build, xs1.shape[0], xs2.shape[0], "step",
+                          min_slope_s=1e-6, samples=2, retries=3,
+                          sample_pause_s=15.0)
+    return w
 
 
 def main() -> None:
@@ -134,18 +139,19 @@ def main() -> None:
                 sf, sums = jax.lax.scan(body, st, None, length=length)
                 return sf, jnp.sum(sums)
 
-            def best(length):
-                _, v = chain(consts, state0, xs, length)
-                _ = float(v)
-                b = float("inf")
-                for _ in range(3):
-                    t0 = time.perf_counter()
-                    _, v = chain(consts, state0, xs, length)
-                    _ = float(v)
-                    b = min(b, time.perf_counter() - t0)
-                return b
+            from bench import slope_timed
 
-            w = max((best(c2) - best(c1)) / (c2 - c1), 1e-9) / t_call
+            def build(c):
+                def run():
+                    _, v = chain(consts, state0, xs, c)
+                    _ = float(v)
+
+                return run
+
+            w, _raw = slope_timed(build, c1, c2, "grid",
+                                  min_slope_s=1e-5, samples=2, retries=3,
+                                  sample_pause_s=15.0)
+            w = w / t_call
             row.append(f"{'packed' if packed else 'f32'}: {w*1e6:6.2f} us/blk")
         print("  ".join(row), flush=True)
 

@@ -322,3 +322,37 @@ def test_pallas_streaming_packed_matches_f32():
 
     with pytest.raises(ValueError):
         PallasStreamingConvolver(ir, b, len(ir), storage="fp8")
+
+
+def test_serving_storage_auto_policy():
+    """storage='auto' picks f32 wherever it fits VMEM (measured faster
+    in-VMEM), packed where only packed fits; the grid streamer keys on
+    its measured segment-count crossover (PACKED_MIN_SEGS)."""
+    from fft_convolution_tpu import serving
+
+    rng = np.random.default_rng(80)
+    sr = 48000
+    ir_small = (rng.standard_normal(2 * sr) * 0.01).astype(np.float32)
+    c = serving.PallasFFTConvolver(ir_small, 128, len(ir_small),
+                                   storage="auto")
+    assert not c._packed
+    ir_big = (rng.standard_normal(16 * sr) * 0.01).astype(np.float32)
+    cfg_big = uniform.make_config(128, len(ir_big))
+    assert not pallas_engine.fits_vmem(cfg_big)        # f32 can't
+    assert pallas_engine.fits_vmem_packed(cfg_big)     # packed can
+    c2 = serving.PallasFFTConvolver(ir_big, 128, len(ir_big),
+                                    storage="auto")
+    assert c2._packed
+
+    s_small = serving.PallasStreamingConvolver(ir_small, 128, len(ir_small),
+                                               storage="auto")
+    assert not s_small._packed
+    s_big = serving.PallasStreamingConvolver(ir_small, 128, 30 * sr,
+                                             storage="auto")
+    assert s_big._packed and \
+        s_big.cfg.seg_count >= s_big.PACKED_MIN_SEGS
+
+    import pytest
+    with pytest.raises(ValueError, match="storage"):
+        serving.PallasFFTConvolver(ir_small, 128, len(ir_small),
+                                   storage="f16")
