@@ -40,22 +40,29 @@ def main() -> None:
                                   tail_dtype=tail_dtype)
     p = cfg.period
     mac = "jnp" if jax.devices()[0].platform != "tpu" else "pallas"
+    # production defaults (ReverbFarm dft_precision="auto"): bf16 head
+    # transforms on packed farms, highest on f32 farms
+    prec = "bf16" if tail_dtype == jnp.bfloat16 else "highest"
     print(f"V={voices} p={p} storage="
-          f"{'packed' if tail_dtype == jnp.bfloat16 else 'f32'} mac={mac}",
+          f"{'packed' if tail_dtype == jnp.bfloat16 else 'f32'} mac={mac} "
+          f"heads={prec}",
           flush=True)
 
     qs = (2, 4, 8)
     khats, xs = {}, {}
     for q in qs:
         t = q * p
-        khats[q] = jax.jit(functools.partial(farm2.farm2_head_khat, cfg),
-                           static_argnums=(1,))(state, t)
+        khats[q] = jax.jit(
+            functools.partial(farm2.farm2_head_khat, cfg,
+                              dft_precision=prec),
+            static_argnums=(1,))(state, t)
         xs[q] = jnp.asarray(
             rng.standard_normal((t, voices, block)).astype(np.float32)
         )
 
     def run(st, x, kh):
-        return farm2.farm2_stream(cfg, st, x, tail_mac=mac, head_khat=kh)
+        return farm2.farm2_stream(cfg, st, x, tail_mac=mac,
+                                  dft_precision=prec, head_khat=kh)
 
     # thread ONE state through all arms (a second V=128 f32 state OOMs);
     # two interleaved passes so every q sees the same window
