@@ -21,7 +21,6 @@ Usage: python -m benchmarks.exp_packed_crossover [--cpu]
 from __future__ import annotations
 
 import sys
-import time
 
 import numpy as np
 
@@ -141,14 +140,14 @@ def main() -> None:
 
             from bench import slope_timed
 
-            def build(c):
+            def build_run(c, _chain=chain, _consts=consts):
                 def run():
-                    _, v = chain(consts, state0, xs, c)
+                    _, v = _chain(_consts, state0, xs, c)
                     _ = float(v)
 
                 return run
 
-            w, _raw = slope_timed(build, c1, c2, "grid",
+            w, _raw = slope_timed(build_run, c1, c2, "grid",
                                   min_slope_s=1e-5, samples=2, retries=3,
                                   sample_pause_s=15.0)
             w = w / t_call
