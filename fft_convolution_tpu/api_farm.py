@@ -6,9 +6,10 @@ single-threaded; its only nod to scale is the "background thread" comment
 at ``:478``); the farm is this framework's own scale story: V two-stage
 voices with DISTINCT long IRs batched on one chip — fused head/tail0
 streams, the fused-voice phased big tail served by the single-pass Pallas
-step kernel, head-kernel meta-DFT cached per IR epoch — ~6,900 realtime
-60 s voices per v5e chip at f32, ~8,000 with the plane-packed bf16 tail
-(which also fits ~1.4x the voices; benchmarks/RESULTS.md).
+step kernel, head-kernel meta-DFT cached per IR epoch — ~8,100-8,400
+realtime 60 s voices per v5e chip at f32, ~9,000 with the plane-packed
+bf16 tail + bf16 head transforms (which also fits ~1.8x the voices;
+benchmarks/RESULTS.md r04).
 
 Contract mirrors the per-voice :class:`TwoStageFFTConvolver` where it
 can: ``process`` streams audio, ``update`` is the batched RT-safe IR swap
