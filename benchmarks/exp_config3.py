@@ -40,7 +40,7 @@ def main() -> None:
 
     from fft_convolution_tpu.models import uniform
 
-    for mult in (2, 4, 8):
+    for mult in (2, 4, 8, 16, 32):
         t = mult * cfg.period
         x = jnp.asarray(rng.standard_normal((t, 128)).astype(np.float32))
         audio = t * 128 / SR
