@@ -158,10 +158,12 @@ def config3_two_stage_30s():
     rng = np.random.default_rng(2)
     ir = (rng.standard_normal(30 * SR) * 0.005).astype(np.float32)
     cfg, state = two_stage.init(ir, 128, len(ir))
-    # throughput batch comparable to the flagship's (~2.7 s audio/dispatch):
-    # per-stream fixed cost amortizes over tail periods — exp_config3
-    # measured 1.30/0.91/0.66 us/blk at T=2p/4p/8p in one window
-    t = 8 * cfg.period
+    # throughput batch comparable to the flagship's (10.6 s audio/dispatch):
+    # the conv-core tail's meta passes are ~flat in call length (m stays
+    # 128 from 8p through 32p), so periods amortize them — exp_config3
+    # r04 measured 0.61/0.35/0.27 us/blk at T=8p/16p/32p in one window
+    # (results/r04/exp_config3_long.log)
+    t = 32 * cfg.period
     x = jnp.asarray(rng.standard_normal((t, 128)).astype(np.float32))
     import jax
 
