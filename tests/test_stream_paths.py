@@ -317,6 +317,27 @@ def test_two_stage_tail_khat_conv_core_matches():
         np.testing.assert_allclose(np.asarray(a), b, atol=tol)
 
 
+def test_two_stage_wrapper_long_call_conv_tail():
+    """A single process() call long enough to flip the big tail onto the
+    conv core (q*N >= 5*m) must match the uniform engine end to end —
+    the wrapper-level pin of the r04 tail routing."""
+    from fft_convolution_tpu import FFTConvolver, TwoStageFFTConvolver
+
+    rng = np.random.default_rng(65)
+    ir = rng.standard_normal(12000).astype(np.float32) * 0.05
+    b = TwoStageFFTConvolver(ir, 64, len(ir))
+    q = next(qq for qq in range(1, 129)
+             if two_stage.tail_uses_conv_core(b.cfg, qq * b.cfg.period))
+    n = q * b.cfg.tail_block
+    x = rng.standard_normal(n).astype(np.float32) * 0.3
+    a = FFTConvolver(ir, 32, len(ir))
+    y_a = a.process(x)
+    y_b = b.process(x)  # one aligned call of q periods -> conv-core tail
+    assert q * b.cfg.period in b._khat_cache
+    assert "tail" in b._khat_cache[q * b.cfg.period]
+    np.testing.assert_allclose(y_b, y_a, atol=1e-5 * max(np.abs(y_a).max(), 1))
+
+
 def test_choose_stream_core_decision_tree():
     """The chooser mirrors the live dispatch and refuses the unguarded
     corr cores unless their state-convention preconditions are declared;
