@@ -87,6 +87,8 @@ _SLOW = {
     "test_parallel.py::test_farm2_update_batched",
     "test_runtime.py::test_streaming_convolver_matches_engine",
     "test_pallas.py::test_fused_block_step_matches_jnp",
+    "test_stream_paths.py::test_two_stage_wrapper_long_call_conv_tail",
+    "test_api_farm.py::test_reverb_farm_head_dft_precision_bf16",
 }
 
 
