@@ -89,6 +89,7 @@ _SLOW = {
     "test_pallas.py::test_fused_block_step_matches_jnp",
     "test_stream_paths.py::test_two_stage_wrapper_long_call_conv_tail",
     "test_api_farm.py::test_reverb_farm_head_dft_precision_bf16",
+    "test_api_farm.py::test_reverb_farm_random_update_schedule",
 }
 
 

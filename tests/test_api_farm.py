@@ -296,6 +296,50 @@ def test_reverb_farm_head_dft_precision_bf16():
         ReverbFarm(irs, 64, irs.shape[1], dft_precision="bogus")
 
 
+def test_reverb_farm_random_update_schedule():
+    """Randomized interleaving of streams, per-voice updates (random
+    subsets/lengths), full updates, and resets vs standalone engines —
+    the adversarial schedule the pointwise tests can't enumerate.
+    Farm update semantics: oracle engines get the response zero-padded
+    to capacity (full-ring invariant, see PARITY.md #5)."""
+    farm, irs, rng = _farm(v=4, seed=48)
+    v, b, p = farm.voices, farm.block_size, farm.period
+    cap = irs.shape[1]
+    engines = [TwoStageFFTConvolver(irs[i], b, cap) for i in range(v)]
+
+    for step in range(10):
+        action = rng.integers(0, 4)
+        if action == 0 and step > 0:           # per-voice subset update
+            k = int(rng.integers(1, v + 1))
+            idx = rng.permutation(v)[:k]
+            new = (rng.standard_normal(
+                (k, int(rng.integers(100, cap + 1)))) * 0.05
+            ).astype(np.float32)
+            farm.update_voices(idx, new)
+            for j, voice in enumerate(idx):
+                engines[voice].update_extension(
+                    np.pad(new[j], (0, cap - new.shape[1])))
+        elif action == 1 and step > 0:         # full farm update
+            new = (rng.standard_normal((v, cap)) * 0.05).astype(np.float32)
+            farm.update(new)
+            for voice in range(v):
+                engines[voice].update_extension(new[voice])
+        elif action == 2 and step > 3:         # reset
+            farm.reset()
+            for e in engines:
+                e.reset()
+        t = int(rng.integers(1, 3)) * p        # stream 1-2 periods
+        x = rng.standard_normal((t, v, b)).astype(np.float32)
+        y = np.asarray(farm.process(x))
+        for voice in range(v):
+            r = engines[voice].process(x[:, voice].reshape(-1))
+            scale = max(np.abs(r).max(), 1.0)
+            np.testing.assert_allclose(
+                y[:, voice].reshape(-1), r, atol=2e-5 * scale,
+                err_msg=f"step {step} voice {voice}",
+            )
+
+
 def test_reverb_farm_long_call():
     """A T = 8-period call (the f32 production shape) exercises the
     delay line's third slot branch: this call's early big-tail outputs
