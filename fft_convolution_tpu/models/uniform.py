@@ -463,12 +463,15 @@ def _stream_conv(cfg: UniformConfig, state: UniformState,
     def rebuild_roll():
         # full ring: the delay-ordered window byd[d-1] = ext[N-1+T-d] is a
         # static reversed slice; placing byd[d-1] at slot (current'+d) % N
-        # is a roll; pre_multiplied is the masked MAC against byd directly
-        # (partition i of the next sub-block pairs delay i+1 = byd[i])
+        # is a roll.  pre_multiplied comes from the identity the sequential
+        # engine defines it by (conv = pre + current (*) ir[0],
+        # src/fft_convolver.rs:256-261):  pre = conv[T-1] - X[T-1] (*) ir[0]
+        # — O(B) instead of the masked MAC's O(N*B) re-read of the whole
+        # IR table + window (the corr cores use the same identity; r04
+        # exp_tailglue measured the rebuild glue at 64% of the tail call)
         byd = jnp.flip(jax.lax.slice_in_dim(ext, t - 1, t - 1 + n, axis=0), axis=0)
         segments = jnp.roll(byd, current_f + 1, axis=0)
-        i = jnp.arange(n, dtype=jnp.int32)
-        pre = pmul_sum(state.segments_ir, byd, i >= 1)
+        pre = convs[-1] - pmul(specs[-1], state.segments_ir[0])
         return segments, pre
 
     def rebuild_gather():
@@ -766,12 +769,13 @@ def stream_conv_farm(cfg: UniformConfig, state: UniformState,
     convs = causal_conv_time(ext, state.segments_ir, t,
                              kern_hat=kern_hat)              # [V, T, 2, B]
 
-    # ring rebuild (shared indices across voices)
+    # ring rebuild (shared indices across voices); pre via the sequential
+    # identity pre = conv[T-1] - X[T-1] (*) ir[0] — O(B) per voice instead
+    # of a whole-IR-table masked MAC (see _stream_conv.rebuild_roll)
     current_f = jnp.mod(current - t, active_n).astype(jnp.int32)
     byd = jnp.flip(jax.lax.slice_in_dim(ext, t - 1, t - 1 + n, axis=1), axis=1)
     segments = jnp.roll(byd, current_f + 1, axis=1)
-    i = jnp.arange(n, dtype=jnp.int32)
-    pre = pmul_sum(state.segments_ir, byd, i >= 1)           # [V, 2, B]
+    pre = convs[:, -1] - pmul(specs[:, -1], state.segments_ir[:, 0])
 
     outs = irdft_block(convs, cfg.fft_size)                  # [V, T, 2B]
     tails = jnp.concatenate([state.overlap[:, None], outs[:, :-1, b:]], axis=1)

@@ -277,8 +277,10 @@ def test_uniform_big_block_khat_routes_conv_core():
     np.testing.assert_allclose(np.asarray(y_conv), np.asarray(y_scan),
                                atol=1e-5 * max(scale, 1.0))
     for a, b, name in zip(s_conv, s_scan, uniform.UniformState._fields):
+        b = np.asarray(b)
+        tol = 1e-5 * max(float(np.abs(b).max()) if b.size else 1.0, 1.0)
         np.testing.assert_allclose(
-            np.asarray(a), np.asarray(b), atol=1e-4,
+            np.asarray(a), b, atol=tol,
             err_msg=f"state field {name}",
         )
 
