@@ -296,6 +296,45 @@ def test_reverb_farm_head_dft_precision_bf16():
         ReverbFarm(irs, 64, irs.shape[1], dft_precision="bogus")
 
 
+def test_reverb_farm_update_voices_packed_storage():
+    """Per-voice update on the plane-packed bf16 farm: the uint32 column
+    slab write must match the batched rebuild word for word (same f32
+    spectra, same bf16 rounding), and untouched voices stay bit-identical."""
+    rng = np.random.default_rng(49)
+    v, b, ir_len = 4, 64, 9000
+    irs = rng.standard_normal((v, ir_len)).astype(np.float32) * 0.05
+    farm = ReverbFarm(irs, b, ir_len, tail_dtype=jnp.bfloat16,
+                      tail_mac="jnp")
+    assert farm.state.tail.segments_ir.dtype == jnp.uint32
+    p = farm.period
+    t = 2 * p
+    x = rng.standard_normal((2 * t, v, b)).astype(np.float32)
+    new_irs = rng.standard_normal((v, 7000)).astype(np.float32) * 0.05
+
+    a = farm.clone()
+    bfarm = farm.clone()
+    _ = a.process(x[:t]); _ = bfarm.process(x[:t])
+    a.update_voices(np.arange(v), new_irs)
+    bfarm.update(new_irs)
+    np.testing.assert_array_equal(
+        np.asarray(a.state.tail.segments_ir),
+        np.asarray(bfarm.state.tail.segments_ir),
+    )
+    np.testing.assert_allclose(
+        np.asarray(a.process(x[t:])), np.asarray(bfarm.process(x[t:])),
+        atol=1e-6,
+    )
+
+    c = farm.clone()
+    twin = farm.clone()
+    _ = c.process(x[:t]); _ = twin.process(x[:t])
+    c.update_voice(2, new_irs[2])
+    yc = np.asarray(c.process(x[t:]))
+    yt = np.asarray(twin.process(x[t:]))
+    keep = [0, 1, 3]
+    np.testing.assert_array_equal(yc[:, keep], yt[:, keep])
+
+
 def test_reverb_farm_random_update_schedule():
     """Randomized interleaving of streams, per-voice updates (random
     subsets/lengths), full updates, and resets vs standalone engines —
