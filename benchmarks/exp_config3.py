@@ -45,7 +45,8 @@ def main() -> None:
         x = jnp.asarray(rng.standard_normal((t, 128)).astype(np.float32))
         audio = t * 128 / SR
         # A/B the big-tail core same-window: policy khats (scan tail below
-        # the q*N >= 8m threshold) vs a FORCED tail khat (conv-core tail)
+        # the q*N >= TAIL_CONV_RATIO*m threshold, ratio 5 as shipped) vs a
+        # FORCED tail khat (conv-core tail)
         for name, force in (("policy", False), ("conv-tail", True)):
             st0 = jax.tree.map(jnp.copy, state)
             khats = jax.jit(functools.partial(two_stage.stream_khats, cfg),

@@ -64,9 +64,12 @@ class ReverbFarm:
     dft_precision : precision spec for the HEAD stages (block DFTs,
         combined-kernel meta-DFTs, cached khat) — "auto" resolves to
         "highest": the early response is the engine's parity story.
-        "bf16" is the opt-in throughput tier pairing with
+        "bf16" is the throughput tier pairing with
         ``tail_dtype=bfloat16`` (~6e-3 relative on the head+tail0
-        contribution, benchmarks/exp_headprec).
+        contribution, benchmarks/exp_headprec).  CHANGED in r04: packed
+        farms' "auto" now resolves to "bf16" (was "highest") — +26%
+        rt voices; pass dft_precision="highest" explicitly to keep
+        parity-exact heads over a packed tail.
     mesh : optional ``jax.sharding.Mesh`` with a ``"dp"`` axis — the
         state shards over voices (``V`` must divide by the mesh size).
         Composes with the Pallas tail kernel: the stream then runs under
@@ -301,6 +304,25 @@ class ReverbFarm:
                 f"new responses ({new_irs.shape[1]}) exceed the farm's "
                 f"response capacity ({self.max_response_length})"
             )
+        if idx.size == self.voices:
+            # all voices: the batched rebuild's chunked donated scan beats
+            # K unrolled per-voice writes (same semantics — pinned by test)
+            full = np.empty_like(new_irs)
+            full[idx] = new_irs
+            self.update(full)
+            return
+        # bucket K to the next power of two by REPEATING the last entry —
+        # scatter/slab writes of identical rows are idempotent — so the
+        # per-shape jit cache holds at most log2(V) executables instead of
+        # one multi-GB-aliased program per distinct subset size (a second
+        # traced K next to the live state OOM'd a V=128 chip in
+        # benchmarks/exp_update)
+        k_pad = 1 << (int(idx.size) - 1).bit_length()
+        pad = k_pad - idx.size
+        idx = np.concatenate([idx, np.repeat(idx[-1:], pad)])
+        new_irs = np.concatenate(
+            [new_irs, np.repeat(new_irs[-1:], pad, axis=0)], axis=0
+        )
         vidx = jnp.asarray(idx, jnp.int32)
         self.state = self._update_voices_jit(
             self.state, vidx, jnp.asarray(new_irs)

@@ -409,6 +409,11 @@ def farm2_update_voices(cfg: two_stage.TwoStageConfig,
 
     Call at a period boundary, like :func:`farm2_update`.  Jittable; jit
     with ``donate_argnums`` on the state so the slab writes land in place.
+    The tail slabs unroll as ``K`` sequential writes (compile time and
+    program size are O(K)) — this is the SMALL-K fast path; for K near V
+    use :func:`farm2_update`, whose chunked donated scan batches the
+    spectra (the ``ReverbFarm`` wrapper routes K == V there and buckets
+    other K to powers of two so the jit cache stays bounded).
     """
     new_irs = jnp.asarray(new_irs, jnp.float32)
     voice_idx = jnp.asarray(voice_idx, jnp.int32)
@@ -826,7 +831,11 @@ def _heads_fused(cfg: two_stage.TwoStageConfig,
     ``hist_prev``'s storage (killing the old-half terms), and a small
     triangular pass over the ring window (meta size ``2n`` vs the main
     ``npo2(2n-1+T)``) subtracts the ring-sourced remainder, masked to the
-    flagged voices, under a ``lax.cond`` on any-flagged.
+    flagged voices, under a ``lax.cond`` on any-flagged.  The pass runs
+    over ALL voices and masks (one post-update call pays an all-V
+    triangular conv even for a 1-voice swap): gathering only flagged
+    voices would retrace the stream per flag count — compile-shape
+    stability wins over one small pass on one call.
 
     Farm invariant consumed: full clean lockstep rings.
 
