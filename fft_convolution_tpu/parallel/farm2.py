@@ -62,6 +62,18 @@ from ..ops.packing import pack_c32, pack_c32_planes, unpack_c32
 from . import farm
 
 
+
+def _tail_ext_index(n_t: int):
+    """The doubled periodic tail table's row layout — ``2*n_t + E`` rows
+    with row ``x`` holding IR segment ``x mod n_t``.  ONE definition:
+    the phased core's window indexing, the batched update's rebuild, the
+    per-voice update's slab build, and direct init all consume it, and a
+    drifted copy would silently desynchronize them (the layout is
+    load-bearing for ``_tail_corr_phased_fused``)."""
+    rows = 2 * n_t + uniform.CORR_EXTRA_ROWS
+    return rows, jnp.arange(rows) % n_t
+
+
 def _fuse_po(a: jnp.ndarray) -> jnp.ndarray:
     """``[V, rows, 2, B] -> [2, rows, V*B]`` (planes-outer fused-voice)."""
     v, rows, _, b = a.shape
@@ -89,10 +101,8 @@ def _init_tail_fused_direct(padded_tail: np.ndarray, tb: int,
     """
     v, lt = padded_tail.shape
     n_t = tail_cfg.seg_count
-    e = uniform.CORR_EXTRA_ROWS
-    rows = 2 * n_t + e
+    rows, ext_idx = _tail_ext_index(n_t)
     vb = v * tb
-    ext_idx = jnp.arange(rows) % n_t
     packed = dtype == jnp.bfloat16
 
     pad_to = n_t * tb - lt
@@ -304,8 +314,7 @@ def farm2_update(cfg: two_stage.TwoStageConfig, state: two_stage.TwoStageState,
 
     if cfg.tail is not None:
         n_t = cfg.tail.seg_count
-        rows = 2 * n_t + uniform.CORR_EXTRA_ROWS
-        ext_idx = jnp.arange(rows) % n_t
+        rows, ext_idx = _tail_ext_index(n_t)
         # rebuild the fused-voice doubled periodic table IN PLACE via a
         # voice-chunked scan (the whole-farm spectra + doubled table as
         # one expression peaked at ~9 GB of temps on top of live state at
@@ -444,8 +453,8 @@ def farm2_update_voices(cfg: two_stage.TwoStageConfig,
 
     if cfg.tail is not None:
         n_t = cfg.tail.seg_count
-        rows = 2 * n_t + uniform.CORR_EXTRA_ROWS
-        ext_idx = jnp.arange(rows) % n_t
+        rows, ext_idx = _tail_ext_index(n_t)
+        del rows  # slab writes span the full table height implicitly
         lo_t = 2 * tb
         cap_t = min(cfg.tail.ir_len, max(ir_len - lo_t, 0))
         table = state.tail.segments_ir
