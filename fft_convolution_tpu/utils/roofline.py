@@ -155,7 +155,8 @@ def two_stage_stream_cost(cfg: two_stage.TwoStageConfig, t: int,
     """two_stage.process_stream_aligned over T head blocks (T % period == 0).
     ``khat_hoisted=True`` models the production khat-served call
     (api_two_stage/bench both cache stream_khats per IR epoch), including
-    the big tail's conv-core routing above TAIL_CONV_MIN_BLOCKS."""
+    the big tail's conv-core routing policy
+    (two_stage.tail_uses_conv_core / TAIL_CONV_RATIO)."""
     q = t // cfg.period
     if cfg.tail0 is not None and cfg.head == cfg.tail0:
         c = fused_heads_cost(cfg, t, khat_hoisted)
