@@ -90,6 +90,8 @@ _SLOW = {
     "test_stream_paths.py::test_two_stage_wrapper_long_call_conv_tail",
     "test_api_farm.py::test_reverb_farm_head_dft_precision_bf16",
     "test_api_farm.py::test_reverb_farm_random_update_schedule",
+    "test_api_farm.py::test_reverb_farm_update_voice_on_mesh",
+    "test_api_farm.py::test_reverb_farm_update_voices_packed_storage",
 }
 
 

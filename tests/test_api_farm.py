@@ -296,6 +296,28 @@ def test_reverb_farm_head_dft_precision_bf16():
         ReverbFarm(irs, 64, irs.shape[1], dft_precision="bogus")
 
 
+def test_reverb_farm_update_voice_on_mesh():
+    """Per-voice update on a dp-sharded farm (row scatters + fused-axis
+    column slab updates under GSPMD) must match the single-device farm."""
+    from fft_convolution_tpu.parallel import farm as farm_mod
+
+    mesh = farm_mod.make_farm_mesh()
+    v = mesh.devices.size
+    rng = np.random.default_rng(51)
+    irs = rng.standard_normal((v, 9000)).astype(np.float32) * 0.05
+    farm = ReverbFarm(irs, 64, 9000, mesh=mesh, tail_mac="jnp")
+    ref = ReverbFarm(irs, 64, 9000, tail_mac="jnp")
+    t = 2 * farm.period
+    x = rng.standard_normal((2 * t, v, 64)).astype(np.float32)
+    new_ir = rng.standard_normal(6000).astype(np.float32) * 0.05
+    np.testing.assert_allclose(farm.process(x[:t]), ref.process(x[:t]),
+                               atol=1e-5)
+    farm.update_voice(1, new_ir)
+    ref.update_voice(1, new_ir)
+    np.testing.assert_allclose(farm.process(x[t:]), ref.process(x[t:]),
+                               atol=1e-5)
+
+
 def test_reverb_farm_update_voices_packed_storage():
     """Per-voice update on the plane-packed bf16 farm: the uint32 column
     slab write must match the batched rebuild word for word (same f32
