@@ -24,7 +24,6 @@ aligned decomposition's invariant, checked eagerly.
 from __future__ import annotations
 
 import functools
-from typing import Optional
 
 import jax
 import jax.numpy as jnp
