@@ -241,52 +241,12 @@ def config4_crossfade_morph():
 
 def farm2_bytes_per_voice(block: int, ir_len: int, t_blocks: int,
                           tail_item: int = 4) -> int:
-    """HBM bytes per farm2 voice, derived from the engine shapes instead of
-    a hand-measured constant.
+    """Moved to :func:`fft_convolution_tpu.parallel.farm2.farm2_bytes_per_voice`
+    (it now backs farm2_init's eager capacity guard); re-exported here for
+    the benchmark scripts."""
+    from fft_convolution_tpu.parallel.farm2 import farm2_bytes_per_voice as f
 
-    Exact state: three uniform stages (input-spectra ring + IR table; the
-    big tail's table is the DOUBLED periodic table of the phased corr core,
-    2N + CORR_EXTRA_ROWS rows) plus the five tail-period buffers.
-    Estimated transients: the head stages' time-DFT intermediates (~6
-    arrays at the padded block-axis length M) and ~1 ring-sized temporary
-    in the tail correlation core (an IR window that fails to fuse; the
-    roll-free phased core has no ring copy — the rebased core's roll cost
-    TWO extra ring-size buffers, confirmed by the r2 OOM dump at 137
-    voices).  The chained-timing scan donates its carry, so the state is
-    NOT doubled during measurement.  A 1.08 factor covers XLA tiling
-    padding (the OOM dump showed 1.05-1.1x expansion on the big arrays).
-    """
-    from fft_convolution_tpu.models import two_stage, uniform
-    from fft_convolution_tpu.ops.fft import next_power_of_two
-
-    tb = two_stage.compute_tail_block_size(block, ir_len)
-
-    def stage(n_segs: int, b: int, extra_ir_rows: int = 0, item: int = 4) -> int:
-        ring = n_segs * 2 * b * item
-        ir_tab = (n_segs + extra_ir_rows) * 2 * b * item
-        return ring + ir_tab + 4 * b * 4   # + overlap/input/pre buffers
-
-    # both storage widths are 32-bit (packed bf16 carries re/im halves in
-    # one u32 word, ops/packing.py): sublane padding is 8 segments, and
-    # tail_item=2 models the packed table's per-plane-equivalent bytes
-    sub = 8
-    n_h = -(-min(ir_len, tb) // block)
-    n_t0 = -(-min(max(ir_len - tb, 0), tb) // block)
-    n_t = -(- -(-max(ir_len - 2 * tb, 0) // tb) // sub) * sub
-    state = (
-        stage(n_h, block) + stage(n_t0, block)
-        + stage(n_t, tb, extra_ir_rows=n_t + uniform.CORR_EXTRA_ROWS,
-                item=tail_item)
-        + 5 * tb * 4
-    )
-    m = next_power_of_two(2 * max(n_h, n_t0) - 1 + t_blocks)
-    # the khat-served stream keeps the head-kernel meta-spectra resident:
-    # ONE combined 2n-segment kernel x [m, B] x (re, im) f32 per voice
-    # (farm2_head_khat of _combined_head_kernel)
-    state += m * block * 4 * 2
-    transients = 6 * m * 2 * block * 4          # one combined head pipeline
-    transients += 1 * n_t * 2 * tb * 4          # tail corr-core temp
-    return int((state + transients) * 1.08)
+    return f(block, ir_len, t_blocks, tail_item)
 
 
 def config5_reverb_farm(voices: int = 1024, ir_seconds: int = 60,

@@ -75,17 +75,29 @@ class ReverbFarm:
         ``shard_map`` (:func:`parallel.farm2.farm2_stream_sharded`), each
         device stepping its local voice shard with zero collectives in
         the audio path.
+    hbm_budget_bytes : eager capacity guard — ``"auto"`` (15.5e9 on a TPU
+        backend, disabled elsewhere), a byte budget, or ``None``.  A farm
+        whose estimated footprint (:func:`parallel.farm2.farm2_bytes_per_voice`
+        x V) exceeds it raises a ``ValueError`` naming the estimate and
+        the fitting voice count at construction, instead of an opaque
+        device RESOURCE_EXHAUSTED mid-init (the init-contract-panic
+        analogue, ``src/fft_convolver.rs:106-110``).
     """
 
     def __init__(self, irs, block_size: int, max_response_length: int,
                  *, tail_dtype=jnp.float32, tail_mac: str = "auto",
                  tail_dft_precision: str = "auto",
-                 dft_precision: str = "auto", mesh=None):
+                 dft_precision: str = "auto", mesh=None,
+                 hbm_budget_bytes="auto"):
         irs = np.asarray(irs, np.float32)
         if irs.ndim != 2:
             raise ValueError("irs must be [voices, ir_len]")
+        # eager capacity guard (farm2_bytes_per_voice model): an oversized
+        # farm raises an actionable ValueError at construction instead of
+        # an opaque device RESOURCE_EXHAUSTED mid-init/stream
         self.cfg, state = farm2.farm2_init(
-            irs, block_size, max_response_length, tail_dtype=tail_dtype
+            irs, block_size, max_response_length, tail_dtype=tail_dtype,
+            hbm_budget_bytes=hbm_budget_bytes,
         )
         if tail_mac == "auto":
             tail_mac = (

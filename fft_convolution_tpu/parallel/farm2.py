@@ -175,8 +175,61 @@ def _tail_fused_state(tail_state_v: uniform.UniformState,
     )
 
 
+def farm2_bytes_per_voice(block: int, ir_len: int, t_blocks: int,
+                          tail_item: int = 4) -> int:
+    """HBM bytes per farm2 voice, derived from the engine shapes instead of
+    a hand-measured constant — the capacity model behind
+    :func:`farm2_init`'s eager guard and ``benchmarks/configs.py``'s voice
+    sizing (the reference analogue is the init-contract panic,
+    ``src/fft_convolver.rs:106-110``: refuse impossible configurations at
+    construction, not mid-stream).
+
+    Exact state: three uniform stages (input-spectra ring + IR table; the
+    big tail's table is the DOUBLED periodic table of the phased corr core,
+    2N + CORR_EXTRA_ROWS rows) plus the five tail-period buffers.
+    Estimated transients: the head stages' time-DFT intermediates (~6
+    arrays at the padded block-axis length M) and ~1 ring-sized temporary
+    in the tail correlation core (an IR window that fails to fuse; the
+    roll-free phased core has no ring copy — the rebased core's roll cost
+    TWO extra ring-size buffers, confirmed by the r2 OOM dump at 137
+    voices).  The chained-timing scan donates its carry, so the state is
+    NOT doubled during measurement.  A 1.08 factor covers XLA tiling
+    padding (the OOM dump showed 1.05-1.1x expansion on the big arrays).
+
+    ``t_blocks`` is the stream call length the transients scale with;
+    ``tail_item=2`` models the plane-packed bf16 table's per-plane-
+    equivalent bytes (both storage widths are 32-bit words).
+    """
+    tb = two_stage.compute_tail_block_size(block, ir_len)
+
+    def stage(n_segs: int, b: int, extra_ir_rows: int = 0, item: int = 4) -> int:
+        ring = n_segs * 2 * b * item
+        ir_tab = (n_segs + extra_ir_rows) * 2 * b * item
+        return ring + ir_tab + 4 * b * 4   # + overlap/input/pre buffers
+
+    # sublane padding is 8 segments (Mosaic tile alignment, farm2_init)
+    sub = 8
+    n_h = -(-min(ir_len, tb) // block)
+    n_t0 = -(-min(max(ir_len - tb, 0), tb) // block)
+    n_t = -(- -(-max(ir_len - 2 * tb, 0) // tb) // sub) * sub
+    state = (
+        stage(n_h, block) + stage(n_t0, block)
+        + stage(n_t, tb, extra_ir_rows=n_t + uniform.CORR_EXTRA_ROWS,
+                item=tail_item)
+        + 5 * tb * 4
+    )
+    m = next_power_of_two(2 * max(n_h, n_t0) - 1 + t_blocks)
+    # the khat-served stream keeps the head-kernel meta-spectra resident:
+    # ONE combined 2n-segment kernel x [m, B] x (re, im) f32 per voice
+    # (farm2_head_khat of _combined_head_kernel)
+    state += m * block * 4 * 2
+    transients = 6 * m * 2 * block * 4          # one combined head pipeline
+    transients += 1 * n_t * 2 * tb * 4          # tail corr-core temp
+    return int((state + transients) * 1.08)
+
+
 def farm2_init(irs, block_size: int, max_response_length: int,
-               tail_dtype=jnp.float32,
+               tail_dtype=jnp.float32, hbm_budget_bytes="auto",
                ) -> Tuple[two_stage.TwoStageConfig, two_stage.TwoStageState]:
     """Initialize V two-stage voices from ``irs [V, ir_len]``; returns the
     shared static config and a stacked state pytree.
@@ -196,6 +249,16 @@ def farm2_init(irs, block_size: int, max_response_length: int,
     decimal digits (~1e-3 relative) instead of the f32 engines' 1e-5
     parity — appropriate for the reverb-tail part of the response,
     opt-in for throughput serving.
+
+    ``hbm_budget_bytes`` — eager capacity guard (the init-contract-panic
+    analogue, ``src/fft_convolver.rs:106-110``): a farm whose estimated
+    footprint (:func:`farm2_bytes_per_voice` x V) exceeds the budget
+    raises an actionable ``ValueError`` instead of dying later as an
+    opaque device RESOURCE_EXHAUSTED.  ``"auto"`` uses 15.5e9 (one
+    15.75 GiB chip minus ~1.4 GB for stream/bases/executable) when the
+    default backend is a TPU and skips the check elsewhere (CPU/test
+    backends have host-sized memory); pass a number to pin the budget
+    (per-device budget for sharded farms), or ``None`` to disable.
     """
     irs = np.asarray(irs, np.float32)
     v = irs.shape[0]
@@ -204,6 +267,37 @@ def farm2_init(irs, block_size: int, max_response_length: int,
             "max_response_length must be at least the length of the initial "
             "impulse response"
         )
+    if hbm_budget_bytes == "auto":
+        hbm_budget_bytes = (
+            15.5e9 if jax.devices()[0].platform == "tpu" else None
+        )
+    if hbm_budget_bytes is not None:
+        tail_item = 2 if tail_dtype == jnp.bfloat16 else 4
+        # transient model at the storage-optimal call length
+        # (benchmarks/exp_qsweep: packed bf16 prefers 2-period calls,
+        # f32 prefers 8)
+        q_est = 2 if tail_item == 2 else 8
+        tb_est = two_stage.compute_tail_block_size(
+            block_size, max_response_length
+        )
+        per_voice = farm2_bytes_per_voice(
+            block_size, max_response_length,
+            q_est * (tb_est // block_size), tail_item,
+        )
+        est = v * per_voice
+        if est > hbm_budget_bytes:
+            fit = max(1, int(hbm_budget_bytes // per_voice))
+            raise ValueError(
+                f"farm of {v} voices x {max_response_length} samples needs "
+                f"~{est / 1e9:.2f} GB (~{per_voice / 1e6:.1f} MB/voice incl. "
+                f"stream transients) > the {hbm_budget_bytes / 1e9:.2f} GB "
+                f"device budget — ~{fit} voices fit this budget"
+                + ("" if tail_item == 2 else
+                   "; tail_dtype=jnp.bfloat16 roughly halves the tail table")
+                + ". Shard over a mesh (ReverbFarm(mesh=...)) for more, or "
+                "pass hbm_budget_bytes=<bytes>/None to retune/disable this "
+                "check (farm2_bytes_per_voice is the model)."
+            )
     head_block = block_size
     tb = two_stage.compute_tail_block_size(block_size, max_response_length)
     padded = np.zeros((v, max_response_length), np.float32)
@@ -403,7 +497,15 @@ def farm2_update_voices(cfg: two_stage.TwoStageConfig,
     (``src/fft_convolver.rs:174-213``: one client swaps one IR without
     touching the other hundred).
 
-    ``voice_idx``: ``[K]`` int32 (distinct, in ``[0, V)``; traced OK);
+    ``voice_idx``: ``[K]`` int32 in ``[0, V)`` (traced OK).  Duplicate
+    indices are SUPPORTED iff their payload rows are identical — every
+    write below is an idempotent set/``dynamic_update_slice``, so
+    repeated (index, row) pairs land the same bytes twice.  This is a
+    load-bearing contract: the ``ReverbFarm`` wrapper pads ``K`` to a
+    power of two by repeating the last entry to bound its jit cache.
+    Any future accumulate-style write (``.at[].add``) here must dedupe
+    first.  Distinct indices with DIFFERENT payloads remain the caller's
+    responsibility (the wrapper validates).
     ``new_irs``: ``[K, L]`` with ``L`` at most the init capacity.  Only
     the touched voices' head/tail0 table rows, the big tail's ``K`` column
     slabs in the fused ``[.., V*B]`` table, and their pending delay-line

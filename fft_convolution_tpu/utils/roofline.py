@@ -63,9 +63,13 @@ def _cdft4_cost(batch: int, m: int, lanes: int) -> Cost:
     from ..ops.fft import _DIRECT_META_MAX
 
     if m <= _DIRECT_META_MAX:
+        # in + out passes plus the [m, m] (cos, sin) basis read — the
+        # basis is negligible at production lane widths (m=256: 0.5 MB vs
+        # ~33 MB of data) but keeps the estimate honest for narrow-lane
+        # batches, and bench.py derives its slope-sanity floor from this
         return Cost(
             flops=batch * lanes * 8.0 * m * m,
-            bytes=4.0 * batch * (m * lanes * 2 * 2),
+            bytes=4.0 * (batch * m * lanes * 2 * 2 + 2.0 * m * m),
         )
     n1, n2 = _split_factors(m)
     flops = batch * lanes * (8.0 * m * (n1 + n2) + 6.0 * m)

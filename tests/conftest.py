@@ -96,11 +96,25 @@ _SLOW = {
 
 
 def pytest_collection_modifyitems(config, items):
+    import warnings
+
     import pytest as _pytest
 
+    matched = set()
     for item in items:
         key = f"{item.path.name}::{item.name}"
         if key in _SLOW:
+            matched.add(key)
             item.add_marker(_pytest.mark.slow)
         else:
             item.add_marker(_pytest.mark.smoke)
+    # a renamed/moved slow test silently falls back into the smoke tier;
+    # surface stale _SLOW keys loudly (only when the whole suite was
+    # collected — a -k/path-filtered run legitimately misses keys)
+    leftovers = _SLOW - matched
+    if leftovers and len(items) > len(_SLOW):
+        warnings.warn(
+            "conftest._SLOW entries matched no collected test (renamed or "
+            f"removed? re-tier them): {sorted(leftovers)}",
+            stacklevel=1,
+        )
