@@ -47,24 +47,51 @@ def main() -> None:
         # A/B the big-tail core same-window: policy khats (scan tail below
         # the q*N >= TAIL_CONV_RATIO*m threshold, ratio 5 as shipped) vs a
         # FORCED tail khat (conv-core tail)
-        for name, force in (("policy", False), ("conv-tail", True)):
+        for name, force in (("policy", False), ("conv-tail", True),
+                            ("chrono", None)):
             st0 = jax.tree.map(jnp.copy, state)
-            khats = jax.jit(functools.partial(two_stage.stream_khats, cfg),
-                            static_argnums=(1,))(st0, t)
-            if force:
-                if "tail" in khats:
-                    print(f"T={mult}p: policy already conv — skip forced",
-                          flush=True)
-                    continue
-                khats["tail"] = jax.jit(
-                    functools.partial(uniform.stream_khat, cfg.tail),
-                    static_argnums=(1,),
-                )(st0.tail, t // cfg.period)
-            wall = _chain_time(
-                lambda st, xs, kh: two_stage.process_stream_aligned(
-                    cfg, st, xs, khats=kh),
-                st0, x, aux=khats, samples=2, sample_pause_s=10.0,
-            )
+            if name == "chrono":
+                # CHRONO sliding-window tail (glue-free conv core every T).
+                # The chained-timing scan cannot host-route compaction, so
+                # the buffer is sized for the whole chain (18 iters); the
+                # production wrapper compacts every (h_cap - N)/q calls —
+                # one h_cap-row pass, ~2 % amortized at these shapes.
+                q = t // cfg.period
+                h_cap = uniform.next_power_of_two(
+                    cfg.tail.seg_count - 1 + 20 * q
+                )
+                khats = jax.jit(functools.partial(two_stage.stream_khats,
+                                                  cfg),
+                                static_argnums=(1, 2))(st0, t, True)
+                st_c, chrono = jax.jit(functools.partial(
+                    two_stage.tail_to_chrono, cfg, h_cap=h_cap))(st0)
+
+                def run_chrono(carry, xs, kh):
+                    st, chr_ = carry
+                    st, chr_, y = two_stage.process_stream_aligned(
+                        cfg, st, xs, khats=kh, tail_chrono=chr_)
+                    return (st, chr_), y
+
+                wall = _chain_time(run_chrono, (st_c, chrono), x,
+                                   aux=khats, samples=2, sample_pause_s=10.0)
+            else:
+                khats = jax.jit(functools.partial(two_stage.stream_khats,
+                                                  cfg),
+                                static_argnums=(1,))(st0, t)
+                if force:
+                    if "tail" in khats:
+                        print(f"T={mult}p: policy already conv — skip forced",
+                              flush=True)
+                        continue
+                    khats["tail"] = jax.jit(
+                        functools.partial(uniform.stream_khat, cfg.tail),
+                        static_argnums=(1,),
+                    )(st0.tail, t // cfg.period)
+                wall = _chain_time(
+                    lambda st, xs, kh: two_stage.process_stream_aligned(
+                        cfg, st, xs, khats=kh),
+                    st0, x, aux=khats, samples=2, sample_pause_s=10.0,
+                )
             print(f"T={mult}p ({t:4d} blk) {name:9s}: "
                   f"{wall * 1e3:7.3f} ms/stream  "
                   f"xRT {audio / wall:7.0f}  {wall / t * 1e6:6.2f} us/blk",

@@ -124,13 +124,14 @@ def main():
             continue
         vi = jnp.asarray(np.arange(k), jnp.int32)
         ni = new_irs[:k]
-        if k == 1:
-            memv = chainedv.lower(state, vi, ni, 1).compile().memory_analysis()
-            print(
-                f"V={voices} dtype={np.dtype(dtype).name} update_voices K=1 "
-                f"memory: temp={memv.temp_size_in_bytes/1e9:.3f}G",
-                flush=True,
-            )
+        # one K per process (the r04 f32 log's K=2 retrace OOM was a
+        # same-process harness limit) — so the memory analysis is per-K too
+        memv = chainedv.lower(state, vi, ni, 1).compile().memory_analysis()
+        print(
+            f"V={voices} dtype={np.dtype(dtype).name} update_voices K={k} "
+            f"memory: temp={memv.temp_size_in_bytes/1e9:.3f}G",
+            flush=True,
+        )
 
         def runv(length, st):
             st, v = chainedv(st, vi, ni, length)

@@ -10,7 +10,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .models import two_stage
+from .models import two_stage, uniform
 
 
 @functools.lru_cache(maxsize=None)
@@ -36,7 +36,33 @@ def _jit_stream_aligned(cfg: two_stage.TwoStageConfig):
 @functools.lru_cache(maxsize=None)
 def _jit_stream_khats(cfg: two_stage.TwoStageConfig):
     return jax.jit(functools.partial(two_stage.stream_khats, cfg),
-                   static_argnums=(1,))
+                   static_argnums=(1, 2))
+
+
+@functools.lru_cache(maxsize=None)
+def _jit_stream_aligned_chrono(cfg: two_stage.TwoStageConfig):
+    # the (hist, pos) pair is donated so the per-call T-row history write
+    # is in place — an undonated [h_cap, 2, tb] buffer would copy whole
+    # per call, re-paying the glue the CHRONO convention removes
+    return jax.jit(functools.partial(two_stage.process_stream_aligned, cfg),
+                   donate_argnames=("tail_chrono",))
+
+
+@functools.lru_cache(maxsize=None)
+def _jit_tail_to_chrono(cfg: two_stage.TwoStageConfig, h_cap: int):
+    return jax.jit(functools.partial(two_stage.tail_to_chrono, cfg,
+                                     h_cap=h_cap))
+
+
+@functools.lru_cache(maxsize=None)
+def _jit_tail_from_chrono(cfg: two_stage.TwoStageConfig):
+    return jax.jit(functools.partial(two_stage.tail_from_chrono, cfg))
+
+
+@functools.lru_cache(maxsize=None)
+def _jit_tail_compact(cfg: two_stage.TwoStageConfig):
+    return jax.jit(functools.partial(two_stage.tail_chrono_compact, cfg),
+                   donate_argnames=("tail_chrono",))
 
 
 @functools.lru_cache(maxsize=None)
@@ -69,9 +95,25 @@ class TwoStageFFTConvolver:
         self._fill = 0         # host shadow of tail_input_fill % head_block
         self._period_fill = 0  # host shadow of tail_input_fill (period position)
         # head/tail0 stream-MAC kernel meta-spectra
-        # (models.two_stage.stream_khats), cached per aligned-stream T:
-        # input-independent between IR updates
+        # (models.two_stage.stream_khats), cached per aligned-stream
+        # (T, want_tail): input-independent between IR updates
         self._khat_cache = {}
+        # CHRONO sliding-window big tail (VERDICT r4 #1): aligned stream
+        # calls keep the tail history chronological — the glue-free conv
+        # core serves every call length.  (hist, pos) rides beside
+        # self.state while active; _tail_pos is the host shadow that
+        # routes compaction; _tail_full gates entry (after an update that
+        # SHRINKS the tail's active count, the reference semantics scramble
+        # the ring history mod the new count — only the ring paths
+        # reproduce that, so chrono stays off until a full-length update).
+        self._tail_chrono = None
+        self._tail_pos = 0
+        self._tail_full = self.cfg.tail is not None
+        self._chrono_h_cap = (
+            uniform.chrono_capacity(self.cfg.tail)
+            if self.cfg.tail is not None and self.cfg.tail.seg_count > 1
+            else 0
+        )
 
     def update(self, response) -> None:
         """``todo!()`` in the reference (``src/fft_convolver.rs:408-410``) —
@@ -99,14 +141,34 @@ class TwoStageFFTConvolver:
             raise ValueError("New impulse response is longer than initialized length")
         padded = np.zeros(cap, np.float32)
         padded[: response.shape[0]] = response
+        self._exit_chrono()
         self.state = _jit_update_ext(self.cfg)(
             self.state, jnp.asarray(padded),
             jnp.asarray(response.shape[0], jnp.int32),
         )
         # cached khats belong to the OLD stage tables
         self._khat_cache.clear()
+        # chrono re-entry requires a FULL tail ring (active == seg_count);
+        # a shorter IR shrinks the tail's active count and the sequential
+        # ring semantics (history scrambled mod the new count) take over
+        if self.cfg.tail is not None:
+            t_len = max(response.shape[0] - 2 * self.cfg.tail_block, 0)
+            active = -(-t_len // self.cfg.tail_block)
+            self._tail_full = active == self.cfg.tail.seg_count
+
+    def _exit_chrono(self) -> None:
+        """Convert the big tail back to the standard ring before any
+        sequential/ring-path consumer (scan, partial, update, reset,
+        snapshot, clone) touches the state."""
+        if self._tail_chrono is not None:
+            self.state = _jit_tail_from_chrono(self.cfg)(
+                self.state, self._tail_chrono
+            )
+            self._tail_chrono = None
+            self._tail_pos = 0
 
     def reset(self) -> None:
+        self._exit_chrono()
         self.state = _jit_reset(self.cfg)(self.state)
         self._fill = 0
         self._period_fill = 0
@@ -124,37 +186,74 @@ class TwoStageFFTConvolver:
             pre = 0 if self._period_fill == 0 else min(n, tb - self._period_fill)
             aligned = ((n - pre) // tb) * tb
             pieces = []
-            for lo, hi, fn in (
-                (0, pre, _jit_stream(self.cfg)),
-                (pre, pre + aligned, _jit_stream_aligned(self.cfg)),
-                (pre + aligned, n, _jit_stream(self.cfg)),
+            for lo, hi, aligned_piece in (
+                (0, pre, False),
+                (pre, pre + aligned, True),
+                (pre + aligned, n, False),
             ):
                 if hi > lo:
-                    if fn is not _jit_stream_aligned(self.cfg):
-                        self.state, y = fn(
+                    if not aligned_piece:
+                        self._exit_chrono()
+                        self.state, y = _jit_stream(self.cfg)(
                             self.state, jnp.reshape(x[lo:hi], (-1, b))
                         )
                     else:
-                        # aligned fast path: serve with the cached
-                        # input-independent head/tail0 kernel meta-DFTs
-                        # (keyed per T: head and tail0 may round to
-                        # different meta lengths, and a T key can never
-                        # serve a mismatched pair)
-                        t = (hi - lo) // b
-                        khats = self._khat_cache.get(t)
-                        if khats is None:
-                            khats = _jit_stream_khats(self.cfg)(self.state, t)
-                            self._khat_cache[t] = khats
-                        self.state, y = fn(
-                            self.state, jnp.reshape(x[lo:hi], (-1, b)),
-                            khats=khats,
-                        )
+                        y = self._process_aligned(x[lo:hi])
                     pieces.append(np.asarray(y).reshape(-1))
             self._period_fill = (self._period_fill + n) % tb
             return pieces[0] if len(pieces) == 1 else np.concatenate(pieces)
         return self._process_chunked(x)
 
+    def _process_aligned(self, x: np.ndarray):
+        """Period-aligned fast path: CHRONO sliding-window big tail when
+        eligible (full tail ring, call fits the history buffer), the
+        guarded ring path otherwise.  Both serve the cached
+        input-independent kernel meta-DFTs (keyed per (T, want_tail): head
+        and tail0 may round to different meta lengths, and a T key can
+        never serve a mismatched pair)."""
+        b = self.cfg.head_block
+        t = x.shape[0] // b
+        q = t // self.cfg.period
+        h_cap = self._chrono_h_cap
+        use_chrono = (
+            h_cap > 0 and self._tail_full
+            and uniform.chrono_fits(self.cfg.tail, h_cap,
+                                    self.cfg.tail.seg_count - 1, q)
+        )
+        khat_key = (t, use_chrono)
+        khats = self._khat_cache.get(khat_key)
+        if khats is None:
+            # want_tail: force the tail khat on for chrono (it serves every
+            # call length); leave the ring path on the measured policy
+            khats = _jit_stream_khats(self.cfg)(
+                self.state, t, True if use_chrono else None
+            )
+            self._khat_cache[khat_key] = khats
+        if not use_chrono:
+            self._exit_chrono()
+            self.state, y = _jit_stream_aligned(self.cfg)(
+                self.state, jnp.reshape(x, (-1, b)), khats=khats
+            )
+            return y
+        n_t = self.cfg.tail.seg_count
+        if self._tail_chrono is None:
+            self.state, self._tail_chrono = _jit_tail_to_chrono(
+                self.cfg, h_cap
+            )(self.state)
+            self._tail_pos = n_t - 1
+        elif not uniform.chrono_fits(self.cfg.tail, h_cap,
+                                     self._tail_pos, q):
+            self._tail_chrono = _jit_tail_compact(self.cfg)(self._tail_chrono)
+            self._tail_pos = n_t - 1
+        self.state, self._tail_chrono, y = _jit_stream_aligned_chrono(
+            self.cfg
+        )(self.state, jnp.reshape(x, (-1, b)), khats=khats,
+          tail_chrono=self._tail_chrono)
+        self._tail_pos += q
+        return y
+
     def _process_chunked(self, x: np.ndarray) -> np.ndarray:
+        self._exit_chrono()
         b = self.cfg.head_block
         n = x.shape[0]
         out = np.empty(n, np.float32)
@@ -177,19 +276,32 @@ class TwoStageFFTConvolver:
         return out
 
     def snapshot(self):
-        return (self.state, self._fill, self._period_fill)
+        # normalized to the standard ring convention: snapshots outlive the
+        # session, and the live chrono hist buffer is DONATED by the next
+        # process call (a chrono-mode snapshot would alias freed memory)
+        self._exit_chrono()
+        return (self.state, self._fill, self._period_fill, self._tail_full)
 
     def restore(self, snap) -> None:
-        self.state, self._fill, self._period_fill = snap
+        self._tail_chrono = None
+        self._tail_pos = 0
+        self.state, self._fill, self._period_fill, self._tail_full = snap
         # the snapshot may carry different stage tables than the cached khats
         self._khat_cache.clear()
 
     def clone(self) -> "TwoStageFFTConvolver":
+        # ring-normalize first: a shared chrono hist would be donated by
+        # whichever clone processes next, corrupting the other
+        self._exit_chrono()
         other = object.__new__(TwoStageFFTConvolver)
         other.cfg = self.cfg
         other.state = self.state
         other._fill = self._fill
         other._period_fill = self._period_fill
+        other._tail_chrono = None
+        other._tail_pos = 0
+        other._tail_full = self._tail_full
+        other._chrono_h_cap = self._chrono_h_cap
         # own cache: an update on either must not leave the other reading
         # khats of the wrong tables
         other._khat_cache = dict(self._khat_cache)

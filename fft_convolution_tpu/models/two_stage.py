@@ -572,7 +572,8 @@ def tail_uses_conv_core(cfg: TwoStageConfig, t: int) -> bool:
     return q * n >= TAIL_CONV_RATIO * m
 
 
-def stream_khats(cfg: TwoStageConfig, state: TwoStageState, t: int):
+def stream_khats(cfg: TwoStageConfig, state: TwoStageState, t: int,
+                 want_tail: Optional[bool] = None):
     """Precompute the kernel meta-spectra for ``T = t``-block aligned
     stream calls — input-independent between IR updates, one third of
     each stage's meta-DFT matmul work hoisted out of every call.
@@ -587,14 +588,19 @@ def stream_khats(cfg: TwoStageConfig, state: TwoStageState, t: int):
     sequential ring scan (whole-ring HBM reads per block) to the batched
     time-DFT conv core (:func:`models.uniform._stream_conv` via
     ``kern_hat``), whose traffic is nearly flat in the call length.
-    Jittable; pass to :func:`process_stream_aligned` as ``khats=``.
+    ``want_tail`` overrides that policy (static) — the CHRONO tail path
+    serves EVERY call length through the conv core, so its callers force
+    the tail khat on.  Jittable; pass to :func:`process_stream_aligned`
+    as ``khats=``.
     """
     out = {
         "head": uniform.stream_khat(cfg.head, state.head, t),
         "t0": (uniform.stream_khat(cfg.tail0, state.tail0, t)
                if cfg.tail0 is not None else None),
     }
-    if tail_uses_conv_core(cfg, t):
+    use_tail = (tail_uses_conv_core(cfg, t) if want_tail is None
+                else (want_tail and cfg.tail is not None))
+    if use_tail:
         out["tail"] = uniform.stream_khat(cfg.tail, state.tail,
                                           t // cfg.period)
     if cfg.tail0 is not None and cfg.head == cfg.tail0:
@@ -611,12 +617,49 @@ def stream_khats(cfg: TwoStageConfig, state: TwoStageState, t: int):
     return out
 
 
+def tail_to_chrono(cfg: TwoStageConfig, state: TwoStageState, h_cap: int
+                   ) -> Tuple[TwoStageState, Tuple[jnp.ndarray, jnp.ndarray]]:
+    """Move the BIG tail's ring into the CHRONO sliding-window convention
+    (:func:`models.uniform.ring_to_chrono`) — ``state.tail.segments``
+    becomes a placeholder; the returned ``(hist, pos)`` pair rides
+    alongside (donated by the wrapper so per-call writes are in place).
+    Precondition: full clean tail ring."""
+    assert cfg.tail is not None
+    tail_state, hist, pos = uniform.ring_to_chrono(cfg.tail, state.tail, h_cap)
+    return state._replace(tail=tail_state), (hist, pos)
+
+
+def tail_from_chrono(cfg: TwoStageConfig, state: TwoStageState,
+                     tail_chrono: Tuple[jnp.ndarray, jnp.ndarray]
+                     ) -> TwoStageState:
+    """Rebuild the BIG tail's standard ring from the CHRONO pair — the
+    inverse boundary conversion (:func:`models.uniform.chrono_to_ring`);
+    every sequential/ring-path consumer interoperates with the result."""
+    assert cfg.tail is not None
+    hist, pos = tail_chrono
+    return state._replace(
+        tail=uniform.chrono_to_ring(cfg.tail, state.tail, hist, pos)
+    )
+
+
+def tail_chrono_compact(cfg: TwoStageConfig,
+                        tail_chrono: Tuple[jnp.ndarray, jnp.ndarray]
+                        ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Host-routed buffer compaction (:func:`models.uniform.chrono_compact`)
+    — the wrapper calls this off its host ``pos`` shadow when the next
+    call would overrun the buffer."""
+    assert cfg.tail is not None
+    hist, pos = tail_chrono
+    return uniform.chrono_compact(cfg.tail, hist, pos)
+
+
 def process_stream_aligned(cfg: TwoStageConfig, state: TwoStageState,
                            blocks: jnp.ndarray,
                            small_stream=None,
                            big_stream=None,
                            khats=None,
                            fuse_small: bool = True,
+                           tail_chrono=None,
                            ) -> Tuple[TwoStageState, jnp.ndarray]:
     """Period-aligned batched streaming — the TPU-native throughput path.
 
@@ -639,6 +682,15 @@ def process_stream_aligned(cfg: TwoStageConfig, state: TwoStageState,
 
     Carried state reproduces the sequential double-buffer contents exactly,
     so fast and scan paths can interleave freely.
+
+    ``tail_chrono``: optional ``(hist, pos)`` CHRONO pair for the big tail
+    (:func:`tail_to_chrono`).  When given, ``state.tail`` must be in the
+    CHRONO convention, the big tail runs the glue-free sliding-window conv
+    core for EVERY call length (build ``khats`` with ``want_tail=True``),
+    and the return becomes ``(state', tail_chrono', y)``.  The caller owns
+    compaction (:func:`tail_chrono_compact`, routed off its host ``pos``
+    shadow) and should donate the pair so the per-call history write is in
+    place.
     """
     b = cfg.head_block
     tb = cfg.tail_block
@@ -646,6 +698,9 @@ def process_stream_aligned(cfg: TwoStageConfig, state: TwoStageState,
     t = blocks.shape[0]
     q = t // p
     assert q * p == t, "process_stream_aligned requires T % period == 0"
+    assert tail_chrono is None or cfg.tail is not None, (
+        "tail_chrono requires a main tail stage"
+    )
     # pluggable per-stage stream cores: the vmapped farm passes unguarded
     # cores so voice-batching does not turn the safety conds into
     # execute-both-branches selects.  khats (:func:`stream_khats`) only
@@ -729,7 +784,14 @@ def process_stream_aligned(cfg: TwoStageConfig, state: TwoStageState,
 
     if cfg.tail is not None:
         big = blocks.reshape(q, tb)
-        tail_state, out_t = big_stream(cfg.tail, state.tail, big)
+        if tail_chrono is not None:
+            hist, pos = tail_chrono
+            tail_state, hist, pos, out_t = uniform.stream_conv_chrono_unguarded(
+                cfg.tail, state.tail, hist, pos, big, kern_hat=kh_tail
+            )
+            new_chrono = (hist, pos)
+        else:
+            tail_state, out_t = big_stream(cfg.tail, state.tail, big)
         # two-period delay line, slot-wise into the period view of y
         # (no concatenated [T, B] temp — same fold as farm2_stream's)
         yq = y.reshape(q, tb)
@@ -746,7 +808,7 @@ def process_stream_aligned(cfg: TwoStageConfig, state: TwoStageState,
         tail_state = state.tail
         new_precalc, new_output = state.tail_precalc, state.tail_output
 
-    return TwoStageState(
+    out_state = TwoStageState(
         head=head_state,
         tail0=tail0_state,
         tail=tail_state,
@@ -757,4 +819,7 @@ def process_stream_aligned(cfg: TwoStageConfig, state: TwoStageState,
         tail_input=blocks[t - p:].reshape(tb),
         tail_fill=jnp.zeros((), jnp.int32),
         precalc_pos=jnp.zeros((), jnp.int32),
-    ), y
+    )
+    if tail_chrono is not None:
+        return out_state, new_chrono, y
+    return out_state, y

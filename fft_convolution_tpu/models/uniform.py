@@ -790,6 +790,163 @@ def stream_conv_farm(cfg: UniformConfig, state: UniformState,
 
 
 # ---------------------------------------------------------------------------
+# CHRONO sliding-window history (the conv core without its glue)
+# ---------------------------------------------------------------------------
+#
+# The time-DFT conv core on the standard decrementing ring pays, per call,
+# a doubled-ring concat + history slice + flip + ext concat on the way IN
+# and a delay-ordered flip + roll rebuild on the way OUT — measured at
+# 52-70 % of the single-voice two-stage tail call (r04 exp_tailglue; the
+# MAC itself is nearly flat in call length).  The ring exists to serve the
+# SEQUENTIAL schedule; a batched stream only ever needs the last N-1
+# spectra OLDEST-FIRST — exactly a chronological buffer.
+#
+# CHRONO convention: history lives in a [h_cap, 2, B] buffer `hist`,
+# written left to right; `pos` rows are occupied and rows >= pos are ZERO
+# (maintained at conversion/compaction), so the m-row window sliced at
+# pos - (N-1) is value-identical to the ring path's hist++specs++zeros ext
+# — same DFT input, same outputs, no flips, no concats, no roll.  The ring
+# fields of UniformState are NOT used: callers carry (hist, pos) alongside
+# a state whose `segments` is a [1, 2, B] placeholder (so no stale
+# multi-MB ring rides through every jit call), and convert at the
+# sequential/batched boundary with ring_to_chrono / chrono_to_ring.
+# Invariant: pos >= N - 1 (conversion and compaction both establish it).
+
+
+def chrono_capacity(cfg: UniformConfig, t_hint: int = 0) -> int:
+    """Default ``hist`` row capacity: enough slack that compaction (one
+    h_cap-row pass) amortizes over many calls, and always >= the meta-DFT
+    window ``m = npo2(N - 1 + T)`` of a ``t_hint``-block call."""
+    n = cfg.seg_count
+    return next_power_of_two(max(4 * n, n - 1 + t_hint, 8))
+
+
+def chrono_fits(cfg: UniformConfig, h_cap: int, pos: int, t: int) -> bool:
+    """Host-side routing predicate (``pos`` is the caller's host shadow):
+    True iff a ``t``-block call fits the buffer without compaction."""
+    n = cfg.seg_count
+    m = next_power_of_two(n - 1 + t) if n > 1 else next_power_of_two(t)
+    return pos + t <= h_cap and pos - (n - 1) + m <= h_cap
+
+
+def ring_to_chrono(cfg: UniformConfig, state: UniformState, h_cap: int
+                   ) -> Tuple[UniformState, jnp.ndarray, jnp.ndarray]:
+    """Standard ring -> CHRONO: returns ``(state', hist, pos)`` with the
+    ring's last ``N - 1`` spectra placed oldest-first at ``hist[:N-1]``,
+    ``pos = N - 1``, and ``state'.segments`` a ``[1, 2, B]`` placeholder.
+
+    Precondition (caller owns it): full clean ring (``active == seg_count``,
+    ``current < seg_count``).  Cost: one ext-build's worth of copies — paid
+    only at the sequential/batched boundary, not per call.
+    """
+    n, b = cfg.seg_count, cfg.block_size
+    hist = jnp.zeros((h_cap, 2, b), jnp.float32)
+    if n > 1:
+        seg2 = jnp.concatenate([state.segments, state.segments], axis=0)
+        window = jnp.flip(jax.lax.dynamic_slice(
+            seg2, (state.current + 1, 0, 0), (n - 1, 2, b)
+        ), axis=0)                                  # lags N-1..1 oldest-first
+        hist = jax.lax.dynamic_update_slice(hist, window, (0, 0, 0))
+    pos = jnp.asarray(n - 1, jnp.int32)
+    placeholder = jnp.zeros((1, 2, b), jnp.float32)
+    return state._replace(
+        segments=placeholder, current=jnp.zeros((), jnp.int32)
+    ), hist, pos
+
+
+def chrono_to_ring(cfg: UniformConfig, state: UniformState,
+                   hist: jnp.ndarray, pos: jnp.ndarray) -> UniformState:
+    """CHRONO -> standard ring, choosing ``current = N - 1``: slot ``d - 1``
+    holds lag ``d`` (``ring[(current + d) % N]`` convention), and the
+    next-write slot ``N - 1`` — whose content the sequential engine never
+    reads before overwriting (``fdl_mac`` skips the head slot) — is zeroed.
+    Exactly interoperable with every sequential/ring-path consumer."""
+    n, b = cfg.seg_count, cfg.block_size
+    if n > 1:
+        window = jax.lax.dynamic_slice(
+            hist, (pos - (n - 1), 0, 0), (n - 1, 2, b)
+        )                                           # oldest-first lags N-1..1
+        ring = jnp.concatenate(
+            [jnp.flip(window, axis=0), jnp.zeros((1, 2, b), jnp.float32)],
+            axis=0,
+        )
+    else:
+        ring = jnp.zeros((1, 2, b), jnp.float32)
+    return state._replace(
+        segments=ring, current=jnp.asarray(n - 1, jnp.int32)
+    )
+
+
+def chrono_compact(cfg: UniformConfig, hist: jnp.ndarray, pos: jnp.ndarray
+                   ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Move the live ``N - 1``-row history window back to the buffer start
+    and re-zero everything after it (one ``h_cap``-row pass).  The caller
+    routes here off its HOST shadow of ``pos`` when the next call would
+    overrun — keeping the hot path free of in-jit conds whose both-branch
+    copies would defeat donation."""
+    n, b = cfg.seg_count, cfg.block_size
+    fresh = jnp.zeros_like(hist)
+    if n > 1:
+        window = jax.lax.dynamic_slice(
+            hist, (pos - (n - 1), 0, 0), (n - 1, 2, b)
+        )
+        fresh = jax.lax.dynamic_update_slice(fresh, window, (0, 0, 0))
+    return fresh, jnp.asarray(n - 1, jnp.int32)
+
+
+def stream_conv_chrono_unguarded(
+    cfg: UniformConfig, state: UniformState,
+    hist: jnp.ndarray, pos: jnp.ndarray,
+    blocks: jnp.ndarray, kern_hat=None,
+) -> Tuple[UniformState, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Time-DFT conv stream on the CHRONO convention — the glue-free form
+    of :func:`stream_conv_unguarded` (VERDICT r4 #1): write the T new
+    spectra at ``hist[pos:pos+T]`` (in place under donation), slice the
+    m-row meta-DFT window ending ``N - 1`` rows before them, MAC, OLA.
+    No doubled-ring concat, no flips, no ext concat, no rebuild roll.
+
+    Preconditions (caller owns them): CHRONO state with rows >= ``pos``
+    zero and ``pos >= N - 1``; the call fits (:func:`chrono_fits` — compact
+    first otherwise); ``current < active`` ring cleanliness is inherited
+    from the conversion precondition.  A shrunk ``active`` is handled by
+    the activity-masked kernel (``kern_hat`` from :func:`stream_khat`, or
+    the in-call mask) — chronological history has no mod-``active`` slot
+    scrambling, so callers that must reproduce the reference's post-shrink
+    ring semantics exactly must stay on the ring paths.
+
+    Returns ``(state', hist', pos', y)``.
+    """
+    b = cfg.block_size
+    n = cfg.seg_count
+    t = blocks.shape[0]
+    m = next_power_of_two(n - 1 + t) if n > 1 else next_power_of_two(t)
+    h_cap = hist.shape[0]
+    assert m <= h_cap, (
+        f"chrono buffer of {h_cap} rows cannot serve a {t}-block call "
+        f"(meta window m={m}); size it with chrono_capacity(cfg, t)"
+    )
+    specs = rdft_block(blocks, cfg.fft_size)                 # [T, 2, B]
+    hist = jax.lax.dynamic_update_slice(hist, specs, (pos, 0, 0))
+    start = pos - (n - 1) if n > 1 else pos
+    ext = jax.lax.dynamic_slice(hist, (start, 0, 0), (m, 2, b))
+    if kern_hat is None:
+        i = jnp.arange(n, dtype=jnp.int32)
+        kern = jnp.where(
+            (i < state.active_segs)[:, None, None], state.segments_ir, 0.0
+        )
+    else:
+        kern = state.segments_ir  # shape source only — khat replaces its DFT
+    convs = causal_conv_time(ext, kern, t, kern_hat=kern_hat, m=m)
+    # pre via the sequential identity (see _stream_conv.rebuild_roll)
+    pre = convs[-1] - pmul(specs[-1], state.segments_ir[0])
+    outs = irdft_block(convs, cfg.fft_size)                  # [T, 2B]
+    tails = jnp.concatenate([state.overlap[None], outs[:-1, b:]], axis=0)
+    y = outs[:, :b] + tails
+    new_state = state._replace(pre_multiplied=pre, overlap=outs[-1, b:])
+    return new_state, hist, (pos + t).astype(jnp.int32), y
+
+
+# ---------------------------------------------------------------------------
 # stream-core decision tree (authoritative; DESIGN.md §4b renders the table)
 # ---------------------------------------------------------------------------
 #
@@ -826,6 +983,12 @@ STREAM_CORES = {
                                     "current); T <= min(N, CORR_EXTRA_ROWS); "
                                     "the farm big-tail core's single-voice "
                                     "form",
+    "stream_conv_chrono_unguarded": "time-DFT conv core on the CHRONO "
+                                    "sliding-window convention ([h_cap] "
+                                    "chronological hist + pos, zero glue); "
+                                    "REQUIRES conversion via ring_to_chrono "
+                                    "and host-routed compaction; the single-"
+                                    "voice two-stage big-tail stream core",
 }
 
 

@@ -322,7 +322,10 @@ def test_two_stage_tail_khat_conv_core_matches():
 def test_two_stage_wrapper_long_call_conv_tail():
     """A single process() call long enough to flip the big tail onto the
     conv core (q*N >= 5*m) must match the uniform engine end to end —
-    the wrapper-level pin of the r04 tail routing."""
+    the wrapper-level pin of the tail routing.  Since r05 the wrapper's
+    aligned calls serve the big tail through the CHRONO sliding-window
+    conv core for EVERY eligible length (khat cache keyed (T, chrono)),
+    so the conv-core khat is present at this q either way."""
     from fft_convolution_tpu import FFTConvolver, TwoStageFFTConvolver
 
     rng = np.random.default_rng(65)
@@ -335,8 +338,10 @@ def test_two_stage_wrapper_long_call_conv_tail():
     a = FFTConvolver(ir, 32, len(ir))
     y_a = a.process(x)
     y_b = b.process(x)  # one aligned call of q periods -> conv-core tail
-    assert q * b.cfg.period in b._khat_cache
-    assert "tail" in b._khat_cache[q * b.cfg.period]
+    t = q * b.cfg.period
+    assert b._tail_chrono is not None  # chrono engaged on the aligned call
+    assert (t, True) in b._khat_cache
+    assert "tail" in b._khat_cache[(t, True)]
     np.testing.assert_allclose(y_b, y_a, atol=1e-5 * max(np.abs(y_a).max(), 1))
 
 
