@@ -167,13 +167,27 @@ def config3_two_stage_30s():
     x = jnp.asarray(rng.standard_normal((t, 128)).astype(np.float32))
     import jax
 
+    from fft_convolution_tpu.models import uniform
+
+    # production path since r05: khat-served CHRONO sliding-window big
+    # tail (the wrapper's aligned route).  Buffer sized for the chained
+    # timing scan (h_cap >= m + iters*q — compaction is host-routed in
+    # production and cannot run inside the scan).
+    q = t // cfg.period
+    m_t = uniform.next_power_of_two(cfg.tail.seg_count - 1 + q)
+    h_cap = uniform.next_power_of_two(m_t + 22 * q)
     khats = jax.jit(functools.partial(two_stage.stream_khats, cfg),
-                    static_argnums=(1,))(state, t)
-    wall = _chain_time(
-        lambda st, xs, kh: two_stage.process_stream_aligned(cfg, st, xs,
-                                                            khats=kh),
-        state, x, aux=khats, samples=3,
-    )
+                    static_argnums=(1, 2))(state, t, True)
+    st_c, chrono = jax.jit(functools.partial(
+        two_stage.tail_to_chrono, cfg, h_cap=h_cap))(state)
+
+    def run(carry, xs, kh):
+        st, chr_ = carry
+        st, chr_, y = two_stage.process_stream_aligned(
+            cfg, st, xs, khats=kh, tail_chrono=chr_)
+        return (st, chr_), y
+
+    wall = _chain_time(run, (st_c, chrono), x, aux=khats, samples=3)
     audio = t * 128 / SR
     return {"xrt": audio / wall, "us_per_block": wall / t * 1e6,
             "tail_block": cfg.tail_block}

@@ -40,7 +40,11 @@ def main() -> None:
 
     from fft_convolution_tpu.models import uniform
 
-    for mult in (2, 4, 8, 16, 32):
+    mults = (2, 4, 8, 16, 32)
+    for i, a in enumerate(sys.argv):
+        if a == "--mults":
+            mults = tuple(int(x) for x in sys.argv[i + 1].split(","))
+    for mult in mults:
         t = mult * cfg.period
         x = jnp.asarray(rng.standard_normal((t, 128)).astype(np.float32))
         audio = t * 128 / SR
@@ -53,13 +57,19 @@ def main() -> None:
             if name == "chrono":
                 # CHRONO sliding-window tail (glue-free conv core every T).
                 # The chained-timing scan cannot host-route compaction, so
-                # the buffer is sized for the whole chain (18 iters); the
-                # production wrapper compacts every (h_cap - N)/q calls —
-                # one h_cap-row pass, ~2 % amortized at these shapes.
+                # the buffer is sized for the whole chain (18 iters +
+                # warmups); the production wrapper compacts every
+                # (h_cap - N)/q calls — one h_cap-row pass, ~2 % amortized.
+                # Size for the SLICE too: the m-row window ending at
+                # pos + T must stay in bounds at the last iteration
+                # (h_cap >= m + iters*q) — an undersized buffer clamps the
+                # dynamic-slice start and silently times a misaligned
+                # program (the first run of this script did exactly that
+                # at 2p/8p).
                 q = t // cfg.period
-                h_cap = uniform.next_power_of_two(
-                    cfg.tail.seg_count - 1 + 20 * q
-                )
+                n_t = cfg.tail.seg_count
+                m = uniform.next_power_of_two(n_t - 1 + q)
+                h_cap = uniform.next_power_of_two(m + 22 * q)
                 khats = jax.jit(functools.partial(two_stage.stream_khats,
                                                   cfg),
                                 static_argnums=(1, 2))(st0, t, True)

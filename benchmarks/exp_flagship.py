@@ -94,6 +94,32 @@ def main():
         print(f"{name}: {w*1e3:8.3f} ms/stream  xRT {audio/w:8.0f}  "
               f"{w/t*1e6:6.3f} us/blk", flush=True)
 
+    # chrono tail (r05): the glue-free sliding-window big tail — the
+    # wrapper's production aligned path.  Carried (state, chrono) pair in
+    # the chain; buffer sized for the whole chain (compaction is
+    # host-routed in production, ~2% amortized).
+    from fft_convolution_tpu.models import uniform
+
+    q = t // cfg.period
+    khats_c = jax.jit(functools.partial(two_stage.stream_khats, cfg),
+                      static_argnums=(1, 2))(state, t, True)
+    # slice-inclusive sizing: h_cap >= m + iters*q or the dynamic-slice
+    # start clamps and the chain times a misaligned program
+    m_c = uniform.next_power_of_two(cfg.tail.seg_count - 1 + q)
+    h_cap = uniform.next_power_of_two(m_c + 22 * q)
+    st_c, chrono = jax.jit(functools.partial(
+        two_stage.tail_to_chrono, cfg, h_cap=h_cap))(state)
+
+    def run_chrono(carry, xs, kh):
+        s, chr_ = carry
+        s, chr_, y = two_stage.process_stream_aligned(
+            cfg, s, xs, khats=kh, tail_chrono=chr_)
+        return (s, chr_), y
+
+    w = slope(run_chrono, (st_c, chrono), x, khats_c)
+    print(f"khat+chrono  : {w*1e3:8.3f} ms/stream  xRT {audio/w:8.0f}  "
+          f"{w/t*1e6:6.3f} us/blk", flush=True)
+
     # variant 4: khat params device_put into the CONSUMER's preferred
     # layout (AUTO in_shardings + AOT compile) once per IR epoch — the
     # compiled stream relayout-copies the default-layout khats every call

@@ -115,9 +115,12 @@ def main() -> None:
 
     # C: the shipped chrono stream (state-chained; buffer sized for the
     # whole chain — the wrapper's host-routed compaction costs ~2 %
-    # amortized and cannot run inside a lax.scan)
+    # amortized and cannot run inside a lax.scan).  Sizing must cover the
+    # SLICE at the last iteration (h_cap >= m + iters*q), not just the
+    # writes — an undersized buffer clamps the dynamic-slice start and
+    # silently times a misaligned program.
     c1, c2 = 2, 18
-    h_cap = next_power_of_two(n - 1 + (c2 + 2) * q)
+    h_cap = next_power_of_two(m + (c2 + 4) * q)
     st_c, hist0, pos0 = uniform.ring_to_chrono(tcfg, tstate, h_cap)
 
     def build_chrono(c):
@@ -134,7 +137,11 @@ def main() -> None:
             return cf, jnp.sum(sums)
 
         def run():
-            _, v = chain((st_c, jnp.copy(hist0), pos0), x, kh)
+            # donation consumes the whole carry — every leaf must be a
+            # fresh copy per run (a reused donated array raises); the
+            # copies are a per-run constant the slope cancels
+            carry = jax.tree.map(jnp.copy, (st_c, hist0, pos0))
+            _, v = chain(carry, x, kh)
             _ = float(v)
 
         return run

@@ -801,16 +801,24 @@ def stream_conv_farm(cfg: UniformConfig, state: UniformState,
 # SEQUENTIAL schedule; a batched stream only ever needs the last N-1
 # spectra OLDEST-FIRST — exactly a chronological buffer.
 #
-# CHRONO convention: history lives in a [h_cap, 2, B] buffer `hist`,
-# written left to right; `pos` rows are occupied and rows >= pos are ZERO
-# (maintained at conversion/compaction), so the m-row window sliced at
-# pos - (N-1) is value-identical to the ring path's hist++specs++zeros ext
-# — same DFT input, same outputs, no flips, no concats, no roll.  The ring
-# fields of UniformState are NOT used: callers carry (hist, pos) alongside
-# a state whose `segments` is a [1, 2, B] placeholder (so no stale
-# multi-MB ring rides through every jit call), and convert at the
-# sequential/batched boundary with ring_to_chrono / chrono_to_ring.
-# Invariant: pos >= N - 1 (conversion and compaction both establish it).
+# CHRONO convention: history lives PLANE-SEPARATED in a pair of
+# [h_cap, B] buffers `hist = (hist_re, hist_im)`, written left to right;
+# `pos` rows are occupied and rows >= pos are ZERO (maintained at
+# conversion/compaction), so the m-row window sliced at pos - (N-1) is
+# value-identical to the ring path's hist++specs++zeros ext — same DFT
+# input, same outputs, no flips, no concats, no roll.  Plane separation is
+# load-bearing, not aesthetic: a single [h_cap, 2, B] buffer gets voted
+# into a plane-interleaved T(2,128) layout by the spec-write's operand
+# inside larger programs, after which extracting each plane for the
+# meta-DFT costs a half-wasted read + an 8x-amplified T(1,128) write —
+# measured as the single biggest op of the first full-stream chrono
+# compile (~235k cycles, the whole glue saving given back).  Same trap
+# family as farm2's plane folds.  The ring fields of UniformState are NOT
+# used: callers carry (hist, pos) alongside a state whose `segments` is a
+# [1, 2, B] placeholder (so no stale multi-MB ring rides through every
+# jit call), and convert at the sequential/batched boundary with
+# ring_to_chrono / chrono_to_ring.  Invariant: pos >= N - 1 (conversion
+# and compaction both establish it).
 
 
 def chrono_capacity(cfg: UniformConfig, t_hint: int = 0) -> int:
@@ -830,42 +838,46 @@ def chrono_fits(cfg: UniformConfig, h_cap: int, pos: int, t: int) -> bool:
 
 
 def ring_to_chrono(cfg: UniformConfig, state: UniformState, h_cap: int
-                   ) -> Tuple[UniformState, jnp.ndarray, jnp.ndarray]:
+                   ) -> Tuple[UniformState, tuple, jnp.ndarray]:
     """Standard ring -> CHRONO: returns ``(state', hist, pos)`` with the
-    ring's last ``N - 1`` spectra placed oldest-first at ``hist[:N-1]``,
-    ``pos = N - 1``, and ``state'.segments`` a ``[1, 2, B]`` placeholder.
+    ring's last ``N - 1`` spectra placed oldest-first at rows ``[:N-1]`` of
+    the plane-separated pair ``hist = (hist_re, hist_im)``, ``pos = N - 1``,
+    and ``state'.segments`` a ``[1, 2, B]`` placeholder.
 
     Precondition (caller owns it): full clean ring (``active == seg_count``,
     ``current < seg_count``).  Cost: one ext-build's worth of copies — paid
     only at the sequential/batched boundary, not per call.
     """
     n, b = cfg.seg_count, cfg.block_size
-    hist = jnp.zeros((h_cap, 2, b), jnp.float32)
+    hist_re = jnp.zeros((h_cap, b), jnp.float32)
+    hist_im = jnp.zeros((h_cap, b), jnp.float32)
     if n > 1:
         seg2 = jnp.concatenate([state.segments, state.segments], axis=0)
         window = jnp.flip(jax.lax.dynamic_slice(
             seg2, (state.current + 1, 0, 0), (n - 1, 2, b)
         ), axis=0)                                  # lags N-1..1 oldest-first
-        hist = jax.lax.dynamic_update_slice(hist, window, (0, 0, 0))
+        hist_re = jax.lax.dynamic_update_slice(hist_re, window[:, 0], (0, 0))
+        hist_im = jax.lax.dynamic_update_slice(hist_im, window[:, 1], (0, 0))
     pos = jnp.asarray(n - 1, jnp.int32)
     placeholder = jnp.zeros((1, 2, b), jnp.float32)
     return state._replace(
         segments=placeholder, current=jnp.zeros((), jnp.int32)
-    ), hist, pos
+    ), (hist_re, hist_im), pos
 
 
 def chrono_to_ring(cfg: UniformConfig, state: UniformState,
-                   hist: jnp.ndarray, pos: jnp.ndarray) -> UniformState:
+                   hist: tuple, pos: jnp.ndarray) -> UniformState:
     """CHRONO -> standard ring, choosing ``current = N - 1``: slot ``d - 1``
     holds lag ``d`` (``ring[(current + d) % N]`` convention), and the
     next-write slot ``N - 1`` — whose content the sequential engine never
     reads before overwriting (``fdl_mac`` skips the head slot) — is zeroed.
     Exactly interoperable with every sequential/ring-path consumer."""
     n, b = cfg.seg_count, cfg.block_size
+    hist_re, hist_im = hist
     if n > 1:
-        window = jax.lax.dynamic_slice(
-            hist, (pos - (n - 1), 0, 0), (n - 1, 2, b)
-        )                                           # oldest-first lags N-1..1
+        win_re = jax.lax.dynamic_slice(hist_re, (pos - (n - 1), 0), (n - 1, b))
+        win_im = jax.lax.dynamic_slice(hist_im, (pos - (n - 1), 0), (n - 1, b))
+        window = jnp.stack([win_re, win_im], axis=1)  # oldest-first lags
         ring = jnp.concatenate(
             [jnp.flip(window, axis=0), jnp.zeros((1, 2, b), jnp.float32)],
             axis=0,
@@ -877,33 +889,39 @@ def chrono_to_ring(cfg: UniformConfig, state: UniformState,
     )
 
 
-def chrono_compact(cfg: UniformConfig, hist: jnp.ndarray, pos: jnp.ndarray
-                   ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+def chrono_compact(cfg: UniformConfig, hist: tuple, pos: jnp.ndarray
+                   ) -> Tuple[tuple, jnp.ndarray]:
     """Move the live ``N - 1``-row history window back to the buffer start
-    and re-zero everything after it (one ``h_cap``-row pass).  The caller
-    routes here off its HOST shadow of ``pos`` when the next call would
-    overrun — keeping the hot path free of in-jit conds whose both-branch
-    copies would defeat donation."""
+    and re-zero everything after it (one ``h_cap``-row pass per plane).
+    The caller routes here off its HOST shadow of ``pos`` when the next
+    call would overrun — keeping the hot path free of in-jit conds whose
+    both-branch copies would defeat donation."""
     n, b = cfg.seg_count, cfg.block_size
-    fresh = jnp.zeros_like(hist)
-    if n > 1:
-        window = jax.lax.dynamic_slice(
-            hist, (pos - (n - 1), 0, 0), (n - 1, 2, b)
-        )
-        fresh = jax.lax.dynamic_update_slice(fresh, window, (0, 0, 0))
-    return fresh, jnp.asarray(n - 1, jnp.int32)
+    hist_re, hist_im = hist
+
+    def one(h):
+        fresh = jnp.zeros_like(h)
+        if n > 1:
+            window = jax.lax.dynamic_slice(h, (pos - (n - 1), 0), (n - 1, b))
+            fresh = jax.lax.dynamic_update_slice(fresh, window, (0, 0))
+        return fresh
+
+    return (one(hist_re), one(hist_im)), jnp.asarray(n - 1, jnp.int32)
 
 
 def stream_conv_chrono_unguarded(
     cfg: UniformConfig, state: UniformState,
-    hist: jnp.ndarray, pos: jnp.ndarray,
+    hist: tuple, pos: jnp.ndarray,
     blocks: jnp.ndarray, kern_hat=None,
-) -> Tuple[UniformState, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+) -> Tuple[UniformState, tuple, jnp.ndarray, jnp.ndarray]:
     """Time-DFT conv stream on the CHRONO convention — the glue-free form
     of :func:`stream_conv_unguarded` (VERDICT r4 #1): write the T new
-    spectra at ``hist[pos:pos+T]`` (in place under donation), slice the
-    m-row meta-DFT window ending ``N - 1`` rows before them, MAC, OLA.
-    No doubled-ring concat, no flips, no ext concat, no rebuild roll.
+    spectra at rows ``[pos, pos+T)`` of each history plane (in place under
+    donation), slice the m-row meta-DFT window ending ``N - 1`` rows
+    before them, MAC, OLA.  No doubled-ring concat, no flips, no ext
+    concat, no rebuild roll — and no plane extraction either: the
+    plane-separated slices feed :func:`ops.fft.causal_conv_time` directly
+    (its tuple-``ext`` form).
 
     Preconditions (caller owns them): CHRONO state with rows >= ``pos``
     zero and ``pos >= N - 1``; the call fits (:func:`chrono_fits` — compact
@@ -920,15 +938,18 @@ def stream_conv_chrono_unguarded(
     n = cfg.seg_count
     t = blocks.shape[0]
     m = next_power_of_two(n - 1 + t) if n > 1 else next_power_of_two(t)
-    h_cap = hist.shape[0]
+    hist_re, hist_im = hist
+    h_cap = hist_re.shape[0]
     assert m <= h_cap, (
         f"chrono buffer of {h_cap} rows cannot serve a {t}-block call "
         f"(meta window m={m}); size it with chrono_capacity(cfg, t)"
     )
     specs = rdft_block(blocks, cfg.fft_size)                 # [T, 2, B]
-    hist = jax.lax.dynamic_update_slice(hist, specs, (pos, 0, 0))
+    hist_re = jax.lax.dynamic_update_slice(hist_re, specs[:, 0], (pos, 0))
+    hist_im = jax.lax.dynamic_update_slice(hist_im, specs[:, 1], (pos, 0))
     start = pos - (n - 1) if n > 1 else pos
-    ext = jax.lax.dynamic_slice(hist, (start, 0, 0), (m, 2, b))
+    e_re = jax.lax.dynamic_slice(hist_re, (start, 0), (m, b))
+    e_im = jax.lax.dynamic_slice(hist_im, (start, 0), (m, b))
     if kern_hat is None:
         i = jnp.arange(n, dtype=jnp.int32)
         kern = jnp.where(
@@ -936,25 +957,25 @@ def stream_conv_chrono_unguarded(
         )
     else:
         kern = state.segments_ir  # shape source only — khat replaces its DFT
-    convs = causal_conv_time(ext, kern, t, kern_hat=kern_hat, m=m)
+    convs = causal_conv_time((e_re, e_im), kern, t, kern_hat=kern_hat, m=m)
     # pre via the sequential identity (see _stream_conv.rebuild_roll)
     pre = convs[-1] - pmul(specs[-1], state.segments_ir[0])
     outs = irdft_block(convs, cfg.fft_size)                  # [T, 2B]
     tails = jnp.concatenate([state.overlap[None], outs[:-1, b:]], axis=0)
     y = outs[:, :b] + tails
     new_state = state._replace(pre_multiplied=pre, overlap=outs[-1, b:])
-    return new_state, hist, (pos + t).astype(jnp.int32), y
+    return new_state, (hist_re, hist_im), (pos + t).astype(jnp.int32), y
 
 
 # ---------------------------------------------------------------------------
 # stream-core decision tree (authoritative; DESIGN.md §4b renders the table)
 # ---------------------------------------------------------------------------
 #
-# The file carries seven stream cores because three orthogonal axes each
+# The file carries eight stream cores because three orthogonal axes each
 # fork the fast path: STATE CONVENTION (standard ring / rebased ring /
-# phased ring), GUARDING (in-jit safety conds vs unguarded preconditions a
-# vmapping caller must own), and MAC FORMULATION (sequential scan vs
-# time-DFT conv vs correlation windows).  choose_stream_core() encodes
+# phased ring / chrono window), GUARDING (in-jit safety conds vs unguarded
+# preconditions a vmapping caller must own), and MAC FORMULATION
+# (sequential scan vs time-DFT conv vs correlation windows).  choose_stream_core() encodes
 # which core serves which regime; the unguarded cores ASSERT their static
 # preconditions where they can (call-length bounds) and document the
 # runtime ones (full clean ring) here and in their docstrings.

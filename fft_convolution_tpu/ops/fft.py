@@ -472,17 +472,34 @@ def causal_conv_time(ext: jnp.ndarray, kern: jnp.ndarray, t_out: int,
     ``ext`` yields ``out[t] = sum_i kern[i] (*) spec[t - i]`` where
     ``ext[h + t]`` is new block ``t`` — rows whose lag exceeds the
     available history read the zero pad (see ``m``).
+
+    ``ext`` may also be a TUPLE ``(e_re, e_im)`` of ``[..., Lt, B]``
+    plane-separated arrays — callers whose history is stored
+    plane-separated (the CHRONO sliding window) pass the planes directly
+    and skip the ``ext[..., p, :]`` extraction, which on a
+    plane-interleaved ``T(2,128)`` layout costs a half-wasted read plus an
+    8x-amplified ``T(1,128)`` write (the dominant op of the first chrono
+    full-stream compile, ~235k cycles at config-3 shape).
     """
-    lt = ext.shape[-3]
+    if isinstance(ext, tuple):
+        e_re_raw, e_im_raw = ext
+        lt = e_re_raw.shape[-2]
+        b = e_re_raw.shape[-1]
+    else:
+        lt = ext.shape[-3]
+        b = ext.shape[-1]
     n = kern.shape[-3]
-    b = ext.shape[-1]
     if m is None:
         m = next_power_of_two(lt)
     elif m < lt or m & (m - 1):
         raise ValueError(f"m={m} must be a power of two >= len(ext)={lt}")
 
-    e_re = _pad_rows(ext[..., 0, :], m)
-    e_im = _pad_rows(ext[..., 1, :], m)
+    if isinstance(ext, tuple):
+        e_re = _pad_rows(e_re_raw, m)
+        e_im = _pad_rows(e_im_raw, m)
+    else:
+        e_re = _pad_rows(ext[..., 0, :], m)
+        e_im = _pad_rows(ext[..., 1, :], m)
 
     ehat_re, ehat_im = _cdft4_axis2(e_re, e_im, m, -1.0, precision)
     if kern_hat is None:
