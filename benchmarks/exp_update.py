@@ -47,7 +47,12 @@ def main():
     rng = np.random.default_rng(7)
     ir_len = 60 * SR
     irs = (rng.standard_normal((voices, ir_len)) * 0.002).astype(np.float32)
-    cfg, state = farm2.farm2_init(irs, 128, ir_len, tail_dtype=dtype)
+    # hbm_budget_bytes=None: this experiment probes AT scale on purpose —
+    # the eager guard's model (farm2_bytes_per_voice) is calibrated on the
+    # JNP corr core and overestimates the production Pallas path (V=128
+    # f32 measured running in r04 while the model says 17.7 GB)
+    cfg, state = farm2.farm2_init(irs, 128, ir_len, tail_dtype=dtype,
+                                  hbm_budget_bytes=None)
     new_irs = jnp.asarray(
         (rng.standard_normal((voices, ir_len)) * 0.002).astype(np.float32)
     )
@@ -94,6 +99,19 @@ def main():
         f"({wall*1e6/voices:.1f} us/voice)",
         flush=True,
     )
+    # free the rebuild executable's donated-alias reservations and the
+    # full new-IR slab before the per-voice part: at V=128 the live state
+    # is ~10-11 GB, and keeping the 1.5 GB new_irs + the rebuild
+    # executable alongside the K>1 executables OOM'd the chip (the
+    # K=8 RESOURCE_EXHAUSTED in the first r05 sweep attempt)
+    chained.clear_cache()
+    max_k = voices
+    for i, a in enumerate(sys.argv):
+        if a == "--k":
+            max_k = int(sys.argv[i + 1])
+    new_irs_k = jnp.array(new_irs[:max_k])   # fresh buffer, not a view
+    del new_irs
+    jax.clear_caches()
 
     # per-voice (subset) update: one client swaps one IR without paying
     # the farm rebuild — farm2_update_voices at K = 1 and 8, plus the
@@ -123,7 +141,7 @@ def main():
         if k > voices:
             continue
         vi = jnp.asarray(np.arange(k), jnp.int32)
-        ni = new_irs[:k]
+        ni = new_irs_k[:k]
         # one K per process (the r04 f32 log's K=2 retrace OOM was a
         # same-process harness limit) — so the memory analysis is per-K too
         memv = chainedv.lower(state, vi, ni, 1).compile().memory_analysis()

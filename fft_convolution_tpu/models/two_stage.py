@@ -35,7 +35,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.cpx import pmul_sum
-from ..ops.fft import (causal_conv_khat, causal_conv_time, irdft_block,
+from ..ops.fft import (causal_conv_khat, causal_conv_multi, irdft_block,
                        next_power_of_two, rdft_block)
 from . import uniform
 
@@ -422,10 +422,15 @@ def _fused_small_streams(cfg, st_h, st_t0, blocks, precalc0, khats):
     With the same config, both stages' input rings are IDENTICAL by
     construction, so one forward DFT and one ring rebuild serve both; and
     since the period equals the head segment count, tail0's one-period
-    output delay is a kernel shift of ``n`` segments — so ONE meta-product
-    + ONE inverse meta-DFT + ONE inverse block-DFT + ONE overlap-add over
-    ``concat(head_table, tail0_table)`` produce
-    ``head(x) + delay_1_period(tail0(x))`` directly (was two of each).
+    output delay is a kernel shift of ``n`` segments — so the conv over
+    ``concat(head_table, tail0_table)`` produces
+    ``head(x) + delay_1_period(tail0(x))`` directly.  The two side passes
+    (first-period subtract, exit-state reconstruction) are row windows of
+    ONE tail0-kernel conv against the SAME ext, so the whole front end is
+    ONE forward meta-DFT + ONE lane-stacked inverse
+    (:func:`ops.fft.causal_conv_multi`) + ONE inverse block-DFT — short
+    calls are latency-bound chains of small matmuls, and this is the
+    minimal chain.
 
     Window bookkeeping (all exact, not approximations):
 
@@ -435,13 +440,14 @@ def _fused_small_streams(cfg, st_h, st_t0, blocks, precalc0, khats):
     * the sequential schedule's contract says the FIRST period's tail0
       contribution comes from ``tail_precalc0`` (last call's output), so
       the in-window delayed terms the combined kernel produces for
-      ``t < p`` are subtracted back out with a tiny triangular pass
-      (meta size ``2n`` vs the main ``npo2(T + 2n - 1)``), and the OLA
-      seam at row ``p`` adds tail0's carried overlap;
+      ``t < p`` are subtracted back out — rows ``[0, p)`` of the tail0
+      conv, whose lags see only the history window (the old triangular
+      pass), and the OLA seam at row ``p`` adds tail0's carried overlap;
     * the exit state (tail0's overlap, ``tail_precalc0``/``tail_output0``
       = tail0's last two OLA'd periods, and the head overlap without the
-      delayed part) is reconstructed exactly from a SMALL side pass over
-      the last ``2p + 1`` blocks (meta size ``npo2(3n)``).
+      delayed part) is reconstructed exactly from rows
+      ``[t + n - nrec, t + n)`` of the same tail0 conv (``nrec = min(q, 2)
+      * p + 1`` raw blocks).
 
     Precondition (caller guards with a ``lax.cond``): full clean rings —
     ``active == seg_count`` and ``current < seg_count`` on both stages,
@@ -458,9 +464,9 @@ def _fused_small_streams(cfg, st_h, st_t0, blocks, precalc0, khats):
     assert p == n, "fused small streams require period == head seg_count"
     t = blocks.shape[0]
     q = t // p
-    kh_comb, kh_small, kh_rec = (
-        (khats.get("comb"), khats.get("small"), khats.get("rec"))
-        if khats is not None else (None, None, None)
+    kh_comb, kh_t0f = (
+        (khats.get("comb"), khats.get("t0f"))
+        if khats is not None else (None, None)
     )
     specs = rdft_block(blocks, ucfg.fft_size)                # [T, 2, B]
     seg2 = jnp.concatenate([st_h.segments, st_h.segments], axis=0)
@@ -469,32 +475,50 @@ def _fused_small_streams(cfg, st_h, st_t0, blocks, precalc0, khats):
     ), axis=0)                                   # blocks -n..-1 oldest-first
     # fold the meta-DFT zero pad (m_comb - n - T rows, the wrap slack the
     # combined kernel's docstring requires) into this concat — ext lands
-    # at m_comb rows exactly and causal_conv_time's _pad_rows is a no-op
+    # at m_comb rows exactly and causal_conv_multi's _pad_rows is a no-op
     # instead of a second full-array materialization.  The slices below
-    # (ext_rec, byd) use explicit end indices < n + T, so the zero rows
-    # are inert for them.
+    # (byd) use explicit end indices < n + T, so the zero rows are inert
+    # for them.
     m_comb = next_power_of_two(t + 2 * n - 1)
     ext = jnp.concatenate(
         [window, specs, jnp.zeros((m_comb - n - t, 2, b), jnp.float32)],
         axis=0,
     )                                                        # [m_comb, 2, B]
 
-    kern = jnp.concatenate([st_h.segments_ir, st_t0.segments_ir], axis=0)
-    conv = causal_conv_time(ext, kern, t, kern_hat=kh_comb,
-                            m=m_comb, row0=n)                # [T, 2, B]
+    # ONE shared forward meta-DFT + ONE lane-stacked inverse serve all
+    # three passes (causal_conv_multi): the combined head+tail0 kernel's
+    # main conv, and the tail0-only full conv whose row windows ARE the
+    # first-period triangular subtract (rows [0, p): history-window-only
+    # lags, the in-window delayed terms) and the exact exit-state
+    # reconstruction (its top rows: tail0's raw blocks for the last
+    # min(q, 2) periods + 1).  Short calls are a serialized chain of
+    # small matmuls, so collapsing three conv pipelines into one is the
+    # short-call latency fix (VERDICT r4 #1's head-bound remainder).
+    nrec = min(q, 2) * p + 1
+    kerns = [
+        kh_comb if kh_comb is not None
+        else jnp.concatenate([st_h.segments_ir, st_t0.segments_ir], axis=0),
+        kh_t0f if kh_t0f is not None else st_t0.segments_ir,
+    ]
+    conv, t0full = causal_conv_multi(
+        ext, kerns, windows=[(n, t), (0, n + t)], m=m_comb
+    )                                        # [T, 2, B], [n + T, 2, B]
 
     # subtract the in-window delayed terms for the first period (their
-    # contribution is carried in tail_precalc0 by contract): a triangular
-    # linear convolution of the tail0 table with the history window
-    ext_w = jnp.concatenate(
-        [jnp.zeros((n - 1, 2, b), jnp.float32), window,
-         jnp.zeros((1, 2, b), jnp.float32)], axis=0
-    )                                                        # [2n, 2, B]
-    w = causal_conv_time(ext_w, st_t0.segments_ir, p, kern_hat=kh_small,
-                         m=2 * n)                            # [p, 2, B]
+    # contribution is carried in tail_precalc0 by contract): rows [0, p)
+    # of the tail0 conv see only history-window lags — exactly the old
+    # triangular pass
+    w = jax.lax.slice_in_dim(t0full, 0, p, axis=0)           # [p, 2, B]
     conv = jnp.concatenate([conv[:p] - w, conv[p:]], axis=0)
+    # tail0's raw rows for the last min(q, 2) periods (+1 row for the OLA
+    # chain head): rows [t + n - nrec, t + n) of the same tail0 conv
+    conv0 = jax.lax.slice_in_dim(t0full, t + n - nrec, t + n, axis=0)
 
-    outs = irdft_block(conv, ucfg.fft_size)                  # [T, 2B]
+    # one stacked inverse block-DFT for the stream rows + the rec rows
+    raw = irdft_block(jnp.concatenate([conv, conv0], axis=0),
+                      ucfg.fft_size)                 # [T + nrec, 2B]
+    outs = raw[:t]
+    raw0 = raw[t:]                                           # [nrec, 2B]
     tails = jnp.concatenate([st_h.overlap[None], outs[:-1, b:]], axis=0)
     y = outs[:, :b] + tails
     # the first period's tail0 contribution is the carried time-domain
@@ -505,19 +529,6 @@ def _fused_small_streams(cfg, st_h, st_t0, blocks, precalc0, khats):
         # head-only after the subtract — the delayed part's seam tail is
         # tail0's carried overlap (= its last raw block's second half)
         y = y.at[p].add(st_t0.overlap)
-
-    # exact exit-state reconstruction: tail0's raw rows for the last
-    # min(q, 2) periods (+1 row for the OLA chain head)
-    nrec = min(q, 2) * p + 1
-    m_rec = next_power_of_two(n - 1 + nrec)
-    start = t - nrec + 1
-    # slice straight to m_rec rows when ext's folded zero slack covers it
-    # (rows >= n + T are the appended zeros) — skips the rec pad copy too
-    end = start + m_rec if start + m_rec <= m_comb else t + n
-    ext_rec = jax.lax.slice_in_dim(ext, start, end, axis=0)
-    conv0 = causal_conv_time(ext_rec, st_t0.segments_ir, nrec,
-                             kern_hat=kh_rec, m=m_rec)
-    raw0 = irdft_block(conv0, ucfg.fft_size)                 # [nrec, 2B]
     out0_rows = raw0[1:, :b] + raw0[:-1, b:]      # blocks [t - nrec + 1, t)
     new_precalc0 = out0_rows[-p:].reshape(p * b)
     new_output0 = (out0_rows[:p].reshape(p * b) if q >= 2 else precalc0)
@@ -580,9 +591,10 @@ def stream_khats(cfg: TwoStageConfig, state: TwoStageState, t: int,
 
     Returns a dict: ``head``/``t0`` are the per-stage khats
     (:func:`models.uniform.stream_khat`) for the separate-stream paths;
-    when the stage configs fuse, ``comb``/``small``/``rec`` are the
-    combined 2n-segment kernel's khat and the two small side-pass khats
-    :func:`_fused_small_streams` uses.  When
+    when the stage configs fuse, ``comb``/``t0f`` are the combined
+    2n-segment kernel's khat and the tail0-table khat at the same meta
+    size — the two kernels of :func:`_fused_small_streams`'s single
+    shared-transform conv (:func:`ops.fft.causal_conv_multi`).  When
     :func:`tail_uses_conv_core` says the call is long enough, ``tail``
     is the BIG tail's khat: supplying it flips the tail from the
     sequential ring scan (whole-ring HBM reads per block) to the batched
@@ -605,15 +617,12 @@ def stream_khats(cfg: TwoStageConfig, state: TwoStageState, t: int,
                                           t // cfg.period)
     if cfg.tail0 is not None and cfg.head == cfg.tail0:
         n = cfg.head.seg_count
-        q = t // cfg.period
         kern = jnp.concatenate(
             [state.head.segments_ir, state.tail0.segments_ir], axis=0
         )
-        out["comb"] = causal_conv_khat(kern, next_power_of_two(t + 2 * n - 1))
-        out["small"] = causal_conv_khat(state.tail0.segments_ir, 2 * n)
-        nrec = min(q, 2) * cfg.period + 1
-        out["rec"] = causal_conv_khat(state.tail0.segments_ir,
-                                      next_power_of_two(n - 1 + nrec))
+        m_comb = next_power_of_two(t + 2 * n - 1)
+        out["comb"] = causal_conv_khat(kern, m_comb)
+        out["t0f"] = causal_conv_khat(state.tail0.segments_ir, m_comb)
     return out
 
 

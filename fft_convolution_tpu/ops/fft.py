@@ -547,6 +547,111 @@ def causal_conv_time(ext: jnp.ndarray, kern: jnp.ndarray, t_out: int,
     return jnp.stack([re, im], axis=-2)  # [..., T, 2, B]
 
 
+def causal_conv_multi(ext, kerns: list, windows: list,
+                      m: int | None = None,
+                      precision=jax.lax.Precision.HIGHEST) -> list:
+    """Several :func:`causal_conv_time` convolutions against ONE shared
+    ``ext``, computed with ONE forward meta-DFT and ONE lane-stacked
+    inverse — the latency-bound short-call form (a 2-period single-voice
+    call is a serialized chain of small matmuls; every separate conv pays
+    a full forward + two inverse meta-DFT chains, while stacking along
+    lanes makes the extra kernels nearly free on the MXU).
+
+    The lane-0 (DC & Nyquist) conjugate corrections — a separate 1-lane
+    inverse DFT chain per conv in :func:`causal_conv_time` — ride the SAME
+    stacked inverse as one extra 128-lane block holding all ``k``
+    correction lanes.
+
+    ``ext``: ``[Lt, 2, B]`` packed spectra or a ``(e_re, e_im)`` tuple of
+    ``[Lt, B]`` planes (the CHRONO form).  ``kerns``: list whose entries
+    are either precomputed :func:`causal_conv_khat` tuples at this ``m``
+    or raw ``[N, 2, B]`` kernel tables (DFT'd inline).  ``windows``: list
+    of ``(row0, count)`` output-row windows, one per kernel, with
+    :func:`causal_conv_time`'s ``row0`` semantics; the single inverse
+    materializes the UNION row range and each result is sliced from it.
+    Callers own the wrap-safety bound (``m`` large enough that every
+    window's out-of-range history reads land in ``ext``'s zero pad).
+
+    Returns a list of ``[count_i, 2, B]`` packed outputs, exactly equal
+    (same matmul sequence modulo stacking) to per-kernel
+    ``causal_conv_time(ext, kern_i, count_i, m=m, row0=row0_i)`` calls.
+    """
+    assert len(kerns) == len(windows) and kerns, (len(kerns), len(windows))
+    if isinstance(ext, tuple):
+        e_re_raw, e_im_raw = ext
+        lt = e_re_raw.shape[-2]
+        b = e_re_raw.shape[-1]
+    else:
+        lt = ext.shape[-3]
+        b = ext.shape[-1]
+    if m is None:
+        m = next_power_of_two(lt)
+    elif m < lt or m & (m - 1):
+        raise ValueError(f"m={m} must be a power of two >= len(ext)={lt}")
+
+    if isinstance(ext, tuple):
+        e_re = _pad_rows(e_re_raw, m)
+        e_im = _pad_rows(e_im_raw, m)
+    else:
+        e_re = _pad_rows(ext[..., 0, :], m)
+        e_im = _pad_rows(ext[..., 1, :], m)
+    ehat_re, ehat_im = _cdft4_axis2(e_re, e_im, m, -1.0, precision)
+    e0_re, e0_im = ehat_re[..., :1], ehat_im[..., :1]
+
+    k = len(kerns)
+    cw = 128  # conj-correction block width: one lane tile holds all k lanes
+    assert k <= cw, k
+    zs_re, zs_im, zc_res, zc_ims = [], [], [], []
+    for kern in kerns:
+        if isinstance(kern, tuple):
+            khat_re, khat_im = kern
+            if khat_re.shape[-2] != m:
+                raise ValueError(
+                    f"kern_hat was built for m={khat_re.shape[-2]} meta-bins "
+                    f"but this stream call needs m={m}"
+                )
+        else:
+            khat_re, khat_im = causal_conv_khat(kern, m, precision)
+        zs_re.append(ehat_re * khat_re - ehat_im * khat_im)
+        zs_im.append(ehat_re * khat_im + ehat_im * khat_re)
+        # lane-0 conj product: DFT(conj(k))[f] = conj(K[-f mod M])
+        kc_re = jnp.roll(jnp.flip(khat_re[..., :1], axis=-2), 1, axis=-2)
+        kc_im = -jnp.roll(jnp.flip(khat_im[..., :1], axis=-2), 1, axis=-2)
+        zc_res.append(e0_re * kc_re - e0_im * kc_im)
+        zc_ims.append(e0_re * kc_im + e0_im * kc_re)
+
+    zshape = zc_res[0].shape[:-1] + (cw - k,)
+    c_re = jnp.concatenate(zc_res + [jnp.zeros(zshape, jnp.float32)], axis=-1)
+    c_im = jnp.concatenate(zc_ims + [jnp.zeros(zshape, jnp.float32)], axis=-1)
+    z_re = jnp.concatenate(zs_re + [c_re], axis=-1)      # [..., m, k*B + 128]
+    z_im = jnp.concatenate(zs_im + [c_im], axis=-1)
+
+    r_lo = min(w[0] for w in windows)
+    r_hi = max(w[0] + w[1] for w in windows)
+    out_re, out_im = _cdft4_axis2(z_re, z_im, m, 1.0, precision,
+                                  scale=1.0 / m, out_rows=(r_lo, r_hi - r_lo))
+
+    m0 = jnp.zeros((b,), jnp.float32).at[0].set(1.0)
+    results = []
+    for i, (r0, cnt) in enumerate(windows):
+        main_re = jax.lax.slice_in_dim(
+            out_re[..., i * b:(i + 1) * b], r0 - r_lo, r0 - r_lo + cnt,
+            axis=-2)
+        main_im = jax.lax.slice_in_dim(
+            out_im[..., i * b:(i + 1) * b], r0 - r_lo, r0 - r_lo + cnt,
+            axis=-2)
+        conj_re = jax.lax.slice_in_dim(
+            out_re[..., k * b + i: k * b + i + 1], r0 - r_lo,
+            r0 - r_lo + cnt, axis=-2)
+        # main_re: rr - ii (lanes >= 1: final re); conj_re: rr + ii (lane 0)
+        rr0 = (main_re[..., :1] + conj_re) * 0.5
+        ii0 = (conj_re - main_re[..., :1]) * 0.5
+        re = main_re * (1.0 - m0) + rr0 * m0
+        im = main_im * (1.0 - m0) + ii0 * m0
+        results.append(jnp.stack([re, im], axis=-2))     # [..., cnt, 2, B]
+    return results
+
+
 def rdft_block(x: jnp.ndarray, fft_size: int,
                precision=jax.lax.Precision.HIGHEST) -> jnp.ndarray:
     """Forward packed real DFT of a block zero-padded to ``fft_size``.

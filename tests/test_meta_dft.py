@@ -104,3 +104,49 @@ def test_boundary_sizes_route_consistently():
         scale = max(float(jnp.abs(y1).max()), 1.0)
         np.testing.assert_allclose(np.asarray(y2), np.asarray(y1),
                                    atol=1e-5 * scale)
+
+
+def test_causal_conv_multi_matches_per_kernel_calls():
+    """causal_conv_multi (shared forward + lane-stacked inverse + folded
+    lane-0 conj corrections) must reproduce per-kernel causal_conv_time
+    calls exactly — including lane 0, the packed DC/Nyquist lane whose
+    correction rides the stacked inverse as an extra lane block."""
+    from fft_convolution_tpu.ops.fft import (causal_conv_khat,
+                                             causal_conv_multi,
+                                             causal_conv_time)
+
+    rng = np.random.default_rng(93)
+    b = 128
+    n, t = 16, 48
+    m = 128  # >= t + 2n - 1, power of two
+    ext = rng.standard_normal((n + t, 2, b)).astype(np.float32) * 0.3
+    ext = jnp.asarray(np.concatenate(
+        [ext, np.zeros((m - n - t, 2, b), np.float32)], axis=0))
+    kerns = [
+        jnp.asarray(rng.standard_normal((2 * n, 2, b)).astype(np.float32)),
+        jnp.asarray(rng.standard_normal((n, 2, b)).astype(np.float32)),
+    ]
+    windows = [(n, t), (0, n + t)]
+
+    multi = jax.jit(functools.partial(causal_conv_multi, m=m,
+                                      windows=windows))(ext, kerns)
+    for kern, (r0, cnt), got in zip(kerns, windows, multi):
+        want = jax.jit(functools.partial(causal_conv_time, m=m, row0=r0,
+                                         t_out=cnt))(ext, kern)
+        scale = max(float(jnp.abs(want).max()), 1.0)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=2e-5 * scale)
+
+    # precomputed khats route identically to raw kernels
+    khats = [causal_conv_khat(k, m) for k in kerns]
+    multi_h = jax.jit(functools.partial(causal_conv_multi, m=m,
+                                        windows=windows))(ext, khats)
+    for a, c in zip(multi, multi_h):
+        np.testing.assert_allclose(np.asarray(c), np.asarray(a), atol=1e-5)
+
+    # tuple (plane-separated) ext form
+    multi_t = jax.jit(functools.partial(causal_conv_multi, m=m,
+                                        windows=windows))(
+        (ext[:, 0], ext[:, 1]), kerns)
+    for a, c in zip(multi, multi_t):
+        np.testing.assert_allclose(np.asarray(c), np.asarray(a), atol=1e-5)
