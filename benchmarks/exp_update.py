@@ -91,14 +91,25 @@ def main():
             best = min(best, time.perf_counter() - t0)
         return best, st
 
-    t1, state = run(1, state)
-    t2, state = run(3, state)
-    wall = max((t2 - t1) / 2, 1e-9)
-    print(
-        f"V={voices} dtype={np.dtype(dtype).name} update: {wall*1e3:.2f} ms "
-        f"({wall*1e6/voices:.1f} us/voice)",
-        flush=True,
-    )
+    if "--no-rebuild" in sys.argv:
+        # isolation mode for the big-K runs: the full-rebuild timing's
+        # executable/temp pressure next to the live 9.7 GB state starved
+        # the K>=32 per-voice programs (temp ~50 MB/voice) on the
+        # time-shared chip — skip it and quote the rebuild wall from the
+        # K=1 log of the same sweep
+        wall = float("nan")
+        print(f"V={voices} dtype={np.dtype(dtype).name} update: skipped "
+              "(--no-rebuild; ratio base = the K=1 log's rebuild wall)",
+              flush=True)
+    else:
+        t1, state = run(1, state)
+        t2, state = run(3, state)
+        wall = max((t2 - t1) / 2, 1e-9)
+        print(
+            f"V={voices} dtype={np.dtype(dtype).name} update: "
+            f"{wall*1e3:.2f} ms ({wall*1e6/voices:.1f} us/voice)",
+            flush=True,
+        )
     # free the rebuild executable's donated-alias reservations and the
     # full new-IR slab before the per-voice part: at V=128 the live state
     # is ~10-11 GB, and keeping the 1.5 GB new_irs + the rebuild
@@ -165,10 +176,12 @@ def main():
         t1, state = runv(2, state)
         t2, state = runv(10, state)
         wv = max((t2 - t1) / 8, 1e-9)
+        ratio = ("" if wall != wall else
+                 f" ({wall/max(wv, 1e-12):.0f}x cheaper than the full "
+                 "rebuild)")
         print(
             f"V={voices} dtype={np.dtype(dtype).name} update_voices K={k}: "
-            f"{wv*1e3:.3f} ms ({wall/max(wv, 1e-12):.0f}x cheaper than the "
-            f"full rebuild)",
+            f"{wv*1e3:.3f} ms{ratio}",
             flush=True,
         )
 

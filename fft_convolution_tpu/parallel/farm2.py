@@ -562,30 +562,46 @@ def farm2_update_voices(cfg: two_stage.TwoStageConfig,
         table = state.tail.segments_ir
         pre_t = state.tail.pre_multiplied
         packed = table.dtype == jnp.uint32
-        for j in range(k):
-            ir_j = jnp.pad(new_irs[j, lo_t: lo_t + cap_t],
-                           (0, n_t * tb - cap_t))
-            ext = jnp.take(ir_to_spectra(ir_j, tb, n_t), ext_idx, axis=0)
-            col = voice_idx[j] * tb
+        # batch the tail spectra builds in chunks (one MXU-batched DFT per
+        # chunk, like stage_update's head build) instead of one serial
+        # ir_to_spectra per voice: at K=8 the serialized builds measured
+        # 2.6 ms/voice while XLA scheduled their buffers concurrently
+        # anyway (exp_update K-sweep temp ~50 MB/voice) — chunking keeps
+        # the transient at <= 8 voices' spectra while the build itself
+        # batches; only the table SLAB WRITES stay sequential (the
+        # layout-safe per-plane dynamic_update_slice form)
+        chunk = min(k, 8)
+        for c0 in range(0, k, chunk):
+            c = min(chunk, k - c0)
+            irs_c = jnp.pad(new_irs[c0: c0 + c, lo_t: lo_t + cap_t],
+                            ((0, 0), (0, n_t * tb - cap_t)))
+            exts = jax.vmap(
+                lambda r: jnp.take(ir_to_spectra(r, tb, n_t), ext_idx,
+                                   axis=0)
+            )(irs_c)                              # [c, rows, 2, tb]
             if packed:
-                table = jax.lax.dynamic_update_slice(
-                    table, pack_c32(ext[:, 0, :], ext[:, 1, :]),
+                words = pack_c32(exts[:, :, 0, :], exts[:, :, 1, :])
+            for j in range(c0, c0 + c):
+                col = voice_idx[j] * tb
+                if packed:
+                    table = jax.lax.dynamic_update_slice(
+                        table, words[j - c0],
+                        (jnp.asarray(0, jnp.int32), col),
+                    )
+                else:
+                    # per-plane [1, rows, tb] writes: a [2, rows, L] slab
+                    # operand votes the whole table into plane-on-sublanes
+                    # (the same layout trap farm2_update documents)
+                    for plane in range(2):
+                        table = jax.lax.dynamic_update_slice(
+                            table, exts[j - c0, :, plane, :][None],
+                            (jnp.asarray(plane, jnp.int32),
+                             jnp.asarray(0, jnp.int32), col),
+                        )
+                pre_t = jax.lax.dynamic_update_slice(
+                    pre_t, jnp.zeros((2, tb), jnp.float32),
                     (jnp.asarray(0, jnp.int32), col),
                 )
-            else:
-                # per-plane [1, rows, tb] writes: a [2, rows, L] slab
-                # operand votes the whole table into plane-on-sublanes
-                # (the same layout trap farm2_update documents)
-                for plane in range(2):
-                    table = jax.lax.dynamic_update_slice(
-                        table, ext[:, plane, :][None],
-                        (jnp.asarray(plane, jnp.int32),
-                         jnp.asarray(0, jnp.int32), col),
-                    )
-            pre_t = jax.lax.dynamic_update_slice(
-                pre_t, jnp.zeros((2, tb), jnp.float32),
-                (jnp.asarray(0, jnp.int32), col),
-            )
         tail = state.tail._replace(
             segments_ir=table, pre_multiplied=pre_t,
             overlap=state.tail.overlap.at[voice_idx].set(0.0),
