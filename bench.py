@@ -158,6 +158,7 @@ def main() -> None:
     import numpy as np
 
     from fft_convolution_tpu.models import two_stage, uniform
+    from fft_convolution_tpu.utils.layouts import pin_m_minor
 
     sr = 48000
     block = 128
@@ -193,6 +194,9 @@ def main() -> None:
         functools.partial(two_stage.stream_khats, cfg),
         static_argnums=(1, 2),
     )(state, t_blocks, True)
+    # consumed-layout pin (exp_khat_layout: -33% on 2-period calls; the
+    # default-layout khat param is relayouted by every call)
+    khats = pin_m_minor(khats)
 
     # chrono pair for the big tail, sized for the longest chain (the
     # chained scan cannot host-route compaction; the slice constraint is

@@ -168,6 +168,7 @@ def config3_two_stage_30s():
     import jax
 
     from fft_convolution_tpu.models import uniform
+    from fft_convolution_tpu.utils.layouts import pin_m_minor
 
     # production path since r05: khat-served CHRONO sliding-window big
     # tail (the wrapper's aligned route).  Buffer sized for the chained
@@ -176,8 +177,9 @@ def config3_two_stage_30s():
     q = t // cfg.period
     m_t = uniform.next_power_of_two(cfg.tail.seg_count - 1 + q)
     h_cap = uniform.next_power_of_two(m_t + 22 * q)
-    khats = jax.jit(functools.partial(two_stage.stream_khats, cfg),
-                    static_argnums=(1, 2))(state, t, True)
+    khats = pin_m_minor(jax.jit(
+        functools.partial(two_stage.stream_khats, cfg),
+        static_argnums=(1, 2))(state, t, True))
     st_c, chrono = jax.jit(functools.partial(
         two_stage.tail_to_chrono, cfg, h_cap=h_cap))(state)
 

@@ -36,25 +36,7 @@ import jax.numpy as jnp
 
 from benchmarks.configs import SR, _chain_time
 from fft_convolution_tpu.models import two_stage, uniform
-
-
-def pin_m_minor(khats: dict) -> dict:
-    """device_put every khat plane into the m-minor layout the stream's
-    inverse meta-DFT consumes (one relayout at build instead of per call).
-    Leaves non-tuple entries untouched."""
-    from jax.experimental.layout import Format, Layout
-
-    dev = jax.devices()[0]
-    shard = jax.sharding.SingleDeviceSharding(dev)
-
-    def pin(x):
-        if x is None or x.ndim < 2:
-            return x
-        mtm = tuple(range(x.ndim - 2)) + (x.ndim - 1, x.ndim - 2)
-        return jax.device_put(x, Format(Layout(major_to_minor=mtm),
-                                        shard))
-
-    return jax.tree.map(pin, khats)
+from fft_convolution_tpu.utils.layouts import pin_m_minor
 
 
 def main() -> None:

@@ -32,6 +32,7 @@ import numpy as np
 from .models import two_stage, uniform
 from .ops.fft import next_power_of_two
 from .parallel import farm2
+from .utils.layouts import pin_m_minor
 
 
 class ReverbFarm:
@@ -252,6 +253,10 @@ class ReverbFarm:
             khat = self._khat_cache.get(m)
             if khat is None:
                 khat = self._khat_fn(self.state, t)
+                # consumed-layout pin (sharding-preserving): the default-
+                # layout khat param relayouts ~2.2% x2 of the farm stream
+                # per call — see utils.layouts
+                khat = pin_m_minor(khat)
                 self._khat_cache[m] = khat
                 self._khat_t_for_m[m] = t
         else:
@@ -347,7 +352,11 @@ class ReverbFarm:
                 if t is None:
                     continue
                 sre, sim = self._khat_voices_jit(self.state, t, vidx)
-                patched[m] = (kre.at[vidx].set(sre), kim.at[vidx].set(sim))
+                # re-pin: the scatter's output reverts to default layout,
+                # and a mixed-layout cache would retrace the stream
+                patched[m] = pin_m_minor(
+                    (kre.at[vidx].set(sre), kim.at[vidx].set(sim))
+                )
             self._khat_cache = patched
 
     def reset(self) -> None:

@@ -414,6 +414,33 @@ def process_stream(cfg: TwoStageConfig, state: TwoStageState,
     return jax.lax.scan(step, state, blocks)
 
 
+# The fused front end has two formulations of its side passes (the
+# first-period subtract and the exit-state reconstruction):
+#
+# * MULTI (short calls): both are row windows of ONE tail0-kernel conv
+#   against the shared ext, so the whole front end is one forward
+#   meta-DFT + one lane-stacked inverse (causal_conv_multi).  Minimal op
+#   CHAIN — but the t0 channel adds a full extra lane block across the
+#   union window [0, n + t), whose bytes scale with t.
+# * SEPARATE (long calls): the side passes run as their own small convs
+#   (meta sizes 2n and npo2(n - 1 + nrec), both flat in t) — more
+#   serialized ops, asymptotically fewer bytes.
+#
+# Extra inverse traffic of MULTI ~ (t + n) * B * 8 bytes * ~3 passes;
+# extra chain of SEPARATE ~ 2 conv pipelines ~ 15-30 us of latency-bound
+# small matmuls.  They cross around t + n ~ 2k rows at B = 128 lanes
+# (~6 MB ~ the same 10-20 us) — short-call serving sits far below, the
+# flagship's T = 3968 call far above.
+FUSED_MULTI_MAX_ROWS = 2048
+
+
+def fused_uses_multi(cfg: TwoStageConfig, t: int) -> bool:
+    """Whether a ``t``-block fused call uses the single shared-transform
+    MULTI formulation (see :data:`FUSED_MULTI_MAX_ROWS`).  Static — keys
+    both :func:`stream_khats`'s dict shape and the compiled program."""
+    return t + cfg.head.seg_count <= FUSED_MULTI_MAX_ROWS
+
+
 def _fused_small_streams(cfg, st_h, st_t0, blocks, precalc0, khats):
     """Head and tail0 streams through ONE shared front end AND one
     COMBINED 2n-segment kernel — the single-voice analogue of the farm's
@@ -464,10 +491,7 @@ def _fused_small_streams(cfg, st_h, st_t0, blocks, precalc0, khats):
     assert p == n, "fused small streams require period == head seg_count"
     t = blocks.shape[0]
     q = t // p
-    kh_comb, kh_t0f = (
-        (khats.get("comb"), khats.get("t0f"))
-        if khats is not None else (None, None)
-    )
+    kh = khats if khats is not None else {}
     specs = rdft_block(blocks, ucfg.fft_size)                # [T, 2, B]
     seg2 = jnp.concatenate([st_h.segments, st_h.segments], axis=0)
     window = jnp.flip(jax.lax.dynamic_slice(
@@ -485,34 +509,64 @@ def _fused_small_streams(cfg, st_h, st_t0, blocks, precalc0, khats):
         axis=0,
     )                                                        # [m_comb, 2, B]
 
-    # ONE shared forward meta-DFT + ONE lane-stacked inverse serve all
-    # three passes (causal_conv_multi): the combined head+tail0 kernel's
-    # main conv, and the tail0-only full conv whose row windows ARE the
-    # first-period triangular subtract (rows [0, p): history-window-only
-    # lags, the in-window delayed terms) and the exact exit-state
-    # reconstruction (its top rows: tail0's raw blocks for the last
-    # min(q, 2) periods + 1).  Short calls are a serialized chain of
-    # small matmuls, so collapsing three conv pipelines into one is the
-    # short-call latency fix (VERDICT r4 #1's head-bound remainder).
     nrec = min(q, 2) * p + 1
-    kerns = [
-        kh_comb if kh_comb is not None
-        else jnp.concatenate([st_h.segments_ir, st_t0.segments_ir], axis=0),
-        kh_t0f if kh_t0f is not None else st_t0.segments_ir,
-    ]
-    conv, t0full = causal_conv_multi(
-        ext, kerns, windows=[(n, t), (0, n + t)], m=m_comb
-    )                                        # [T, 2, B], [n + T, 2, B]
+    kern_comb = kh.get("comb")
+    if kern_comb is None:
+        kern_comb = jnp.concatenate(
+            [st_h.segments_ir, st_t0.segments_ir], axis=0)
+    if fused_uses_multi(cfg, t):
+        # MULTI: one shared forward meta-DFT + one lane-stacked inverse
+        # serve all three passes (causal_conv_multi): the combined
+        # head+tail0 kernel's main conv, and the tail0-only full conv
+        # whose row windows ARE the first-period triangular subtract
+        # (rows [0, p): history-window-only lags, the in-window delayed
+        # terms) and the exact exit-state reconstruction (its top rows:
+        # tail0's raw blocks for the last min(q, 2) periods + 1).  Short
+        # calls are a serialized chain of small matmuls, so collapsing
+        # three conv pipelines into one is the short-call latency fix
+        # (VERDICT r4 #1's head-bound remainder).
+        kern_t0 = kh.get("t0f")
+        conv, t0full = causal_conv_multi(
+            ext,
+            [kern_comb,
+             kern_t0 if kern_t0 is not None else st_t0.segments_ir],
+            windows=[(n, t), (0, n + t)], m=m_comb,
+        )                                    # [T, 2, B], [n + T, 2, B]
+        # rows [0, p) of the tail0 conv = the first-period subtract
+        w = jax.lax.slice_in_dim(t0full, 0, p, axis=0)       # [p, 2, B]
+        # rows [t + n - nrec, t + n) = tail0's raw rec rows
+        conv0 = jax.lax.slice_in_dim(t0full, t + n - nrec, t + n, axis=0)
+    else:
+        # SEPARATE: side passes as their own small convs, meta sizes flat
+        # in t (see FUSED_MULTI_MAX_ROWS); each still folds its lane-0
+        # conjugate correction into its stacked inverse
+        conv = causal_conv_multi(ext, [kern_comb], [(n, t)], m=m_comb)[0]
+        kern_t0s = kh.get("small")
+        ext_w = jnp.concatenate(
+            [jnp.zeros((n - 1, 2, b), jnp.float32), window,
+             jnp.zeros((1, 2, b), jnp.float32)], axis=0
+        )                                                    # [2n, 2, B]
+        w = causal_conv_multi(
+            ext_w,
+            [kern_t0s if kern_t0s is not None else st_t0.segments_ir],
+            [(n - 1, p)], m=2 * n,
+        )[0]                                                 # [p, 2, B]
+        m_rec = next_power_of_two(n - 1 + nrec)
+        start = t - nrec + 1
+        # slice straight to m_rec rows when ext's folded zero slack
+        # covers it (rows >= n + T are the appended zeros)
+        end = start + m_rec if start + m_rec <= m_comb else t + n
+        ext_rec = jax.lax.slice_in_dim(ext, start, end, axis=0)
+        kern_rec = kh.get("rec")
+        conv0 = causal_conv_multi(
+            ext_rec,
+            [kern_rec if kern_rec is not None else st_t0.segments_ir],
+            [(n - 1, nrec)], m=m_rec,
+        )[0]                                                 # [nrec, 2, B]
 
     # subtract the in-window delayed terms for the first period (their
-    # contribution is carried in tail_precalc0 by contract): rows [0, p)
-    # of the tail0 conv see only history-window lags — exactly the old
-    # triangular pass
-    w = jax.lax.slice_in_dim(t0full, 0, p, axis=0)           # [p, 2, B]
+    # contribution is carried in tail_precalc0 by contract)
     conv = jnp.concatenate([conv[:p] - w, conv[p:]], axis=0)
-    # tail0's raw rows for the last min(q, 2) periods (+1 row for the OLA
-    # chain head): rows [t + n - nrec, t + n) of the same tail0 conv
-    conv0 = jax.lax.slice_in_dim(t0full, t + n - nrec, t + n, axis=0)
 
     # one stacked inverse block-DFT for the stream rows + the rec rows
     raw = irdft_block(jnp.concatenate([conv, conv0], axis=0),
@@ -591,10 +645,10 @@ def stream_khats(cfg: TwoStageConfig, state: TwoStageState, t: int,
 
     Returns a dict: ``head``/``t0`` are the per-stage khats
     (:func:`models.uniform.stream_khat`) for the separate-stream paths;
-    when the stage configs fuse, ``comb``/``t0f`` are the combined
-    2n-segment kernel's khat and the tail0-table khat at the same meta
-    size — the two kernels of :func:`_fused_small_streams`'s single
-    shared-transform conv (:func:`ops.fft.causal_conv_multi`).  When
+    when the stage configs fuse, ``comb`` is the combined 2n-segment
+    kernel's khat, joined by ``t0f`` (the tail0-table khat at the same
+    meta size — the MULTI shared-transform form) or ``small``/``rec``
+    (the SEPARATE side-pass khats) per :func:`fused_uses_multi`.  When
     :func:`tail_uses_conv_core` says the call is long enough, ``tail``
     is the BIG tail's khat: supplying it flips the tail from the
     sequential ring scan (whole-ring HBM reads per block) to the batched
@@ -622,7 +676,14 @@ def stream_khats(cfg: TwoStageConfig, state: TwoStageState, t: int,
         )
         m_comb = next_power_of_two(t + 2 * n - 1)
         out["comb"] = causal_conv_khat(kern, m_comb)
-        out["t0f"] = causal_conv_khat(state.tail0.segments_ir, m_comb)
+        if fused_uses_multi(cfg, t):
+            out["t0f"] = causal_conv_khat(state.tail0.segments_ir, m_comb)
+        else:
+            q = t // cfg.period
+            nrec = min(q, 2) * cfg.period + 1
+            out["small"] = causal_conv_khat(state.tail0.segments_ir, 2 * n)
+            out["rec"] = causal_conv_khat(state.tail0.segments_ir,
+                                          next_power_of_two(n - 1 + nrec))
     return out
 
 

@@ -409,3 +409,51 @@ def test_irdft_pair_matches_interleaved():
             functools.partial(irdft_pair, fft_size=fft_size)
         )(p[..., 0, :], p[..., 1, :]))
         np.testing.assert_allclose(bpair, a, atol=1e-6 * max(np.abs(a).max(), 1))
+
+
+def test_fused_separate_branch_matches_multi_and_scan(monkeypatch):
+    """The fused front end's two side-pass formulations (MULTI shared
+    transform vs SEPARATE small convs — two_stage.fused_uses_multi routes
+    on T) must agree with each other and with the sequential per-block
+    reference, including the carried exit state."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from fft_convolution_tpu.models import two_stage
+
+    rng = np.random.default_rng(51)
+    b = 64
+    ir_l = rng.standard_normal(60000).astype(np.float32) * 0.02
+    cfg, state = two_stage.init(ir_l, b, len(ir_l))
+    tt = 3 * cfg.period
+    xs = jnp.asarray(rng.standard_normal((tt, b)).astype(np.float32) * 0.3)
+    x2 = jnp.asarray(rng.standard_normal((tt, b)).astype(np.float32) * 0.3)
+
+    assert two_stage.fused_uses_multi(cfg, tt)
+
+    def run(branch_max):
+        monkeypatch.setattr(two_stage, "FUSED_MULTI_MAX_ROWS", branch_max)
+        khs = jax.jit(functools.partial(two_stage.stream_khats, cfg),
+                      static_argnums=(1,))(state, tt)
+        runa = jax.jit(
+            functools.partial(two_stage.process_stream_aligned, cfg))
+        st, y1 = runa(state, xs, khats=khs)
+        st, y2 = runa(st, x2, khats=khs)
+        return np.asarray(y1), np.asarray(y2)
+
+    multi = run(1 << 30)
+    sep = run(0)          # force the SEPARATE side-pass branch
+    for a, c in zip(multi, sep):
+        np.testing.assert_allclose(c, a, atol=2e-6)
+
+    # sequential per-block reference
+    st, yr1 = jax.jit(functools.partial(two_stage.process_stream, cfg))(
+        state, xs)
+    _, yr2 = jax.jit(functools.partial(two_stage.process_stream, cfg))(
+        st, x2)
+    scale = max(float(jnp.abs(yr1).max()), 1.0)
+    np.testing.assert_allclose(sep[0], np.asarray(yr1), atol=1e-5 * scale)
+    np.testing.assert_allclose(sep[1], np.asarray(yr2), atol=1e-5 * scale)
