@@ -30,6 +30,7 @@ import jax.numpy as jnp
 
 from benchmarks.configs import SR, _chain_time
 from fft_convolution_tpu.models import two_stage
+from fft_convolution_tpu.utils.layouts import pin_m_minor
 
 
 def main() -> None:
@@ -70,9 +71,9 @@ def main() -> None:
                 n_t = cfg.tail.seg_count
                 m = uniform.next_power_of_two(n_t - 1 + q)
                 h_cap = uniform.next_power_of_two(m + 22 * q)
-                khats = jax.jit(functools.partial(two_stage.stream_khats,
-                                                  cfg),
-                                static_argnums=(1, 2))(st0, t, True)
+                khats = pin_m_minor(jax.jit(
+                    functools.partial(two_stage.stream_khats, cfg),
+                    static_argnums=(1, 2))(st0, t, True))
                 st_c, chrono = jax.jit(functools.partial(
                     two_stage.tail_to_chrono, cfg, h_cap=h_cap))(st0)
 
@@ -85,18 +86,18 @@ def main() -> None:
                 wall = _chain_time(run_chrono, (st_c, chrono), x,
                                    aux=khats, samples=2, sample_pause_s=10.0)
             else:
-                khats = jax.jit(functools.partial(two_stage.stream_khats,
-                                                  cfg),
-                                static_argnums=(1,))(st0, t)
+                khats = pin_m_minor(jax.jit(
+                    functools.partial(two_stage.stream_khats, cfg),
+                    static_argnums=(1,))(st0, t))
                 if force:
                     if "tail" in khats:
                         print(f"T={mult}p: policy already conv — skip forced",
                               flush=True)
                         continue
-                    khats["tail"] = jax.jit(
+                    khats["tail"] = pin_m_minor(jax.jit(
                         functools.partial(uniform.stream_khat, cfg.tail),
                         static_argnums=(1,),
-                    )(st0.tail, t // cfg.period)
+                    )(st0.tail, t // cfg.period))
                 wall = _chain_time(
                     lambda st, xs, kh: two_stage.process_stream_aligned(
                         cfg, st, xs, khats=kh),

@@ -66,6 +66,7 @@ def slope(run, state, x, aux, c1=2, c2=18, reps=3):
 
 def main():
     from fft_convolution_tpu.models import two_stage
+    from fft_convolution_tpu.utils.layouts import pin_m_minor
 
     rng = np.random.default_rng(0)
     ir = (rng.standard_normal(10 * SR) * 0.01).astype(np.float32)
@@ -77,8 +78,9 @@ def main():
         if a == "--t":
             t = int(sys.argv[i + 1])
     x = jnp.asarray(rng.standard_normal((t, 128)).astype(np.float32))
-    khats = jax.jit(functools.partial(two_stage.stream_khats, cfg),
-                    static_argnums=(1,))(state, t)
+    khats = pin_m_minor(jax.jit(
+        functools.partial(two_stage.stream_khats, cfg),
+        static_argnums=(1,))(state, t))
 
     variants = [
         ("khat+fused   ", lambda s, xs, kh: two_stage.process_stream_aligned(
@@ -101,8 +103,9 @@ def main():
     from fft_convolution_tpu.models import uniform
 
     q = t // cfg.period
-    khats_c = jax.jit(functools.partial(two_stage.stream_khats, cfg),
-                      static_argnums=(1, 2))(state, t, True)
+    khats_c = pin_m_minor(jax.jit(
+        functools.partial(two_stage.stream_khats, cfg),
+        static_argnums=(1, 2))(state, t, True))
     # slice-inclusive sizing: h_cap >= m + iters*q or the dynamic-slice
     # start clamps and the chain times a misaligned program
     m_c = uniform.next_power_of_two(cfg.tail.seg_count - 1 + q)
