@@ -85,6 +85,15 @@ class ReverbFarm:
         analogue, ``src/fft_convolver.rs:106-110``).
     """
 
+    # update_voices slab cap: subsets larger than this are applied as
+    # consecutive <=8-voice chunks.  Measured at V=128/60 s (r05
+    # exp_update v2 logs): batched K=32 f32 over-allocates HBM at compile
+    # time next to the live state, while K=8 compiles and runs in both
+    # dtypes (f32 4.42 ms, bf16 3.41 ms) — and 4 chunked K=8 calls beat
+    # the one batched K=32 program even where the latter compiles
+    # (bf16: 13.6 vs 25.1 ms).
+    update_voices_chunk = 8
+
     def __init__(self, irs, block_size: int, max_response_length: int,
                  *, tail_dtype=jnp.float32, tail_mac: str = "auto",
                  tail_dft_precision: str = "auto",
@@ -327,10 +336,21 @@ class ReverbFarm:
             full[idx] = new_irs
             self.update(full)
             return
+        if idx.size > self.update_voices_chunk:
+            # split into <=chunk slabs of DISTINCT voices: at V=128/60 s the
+            # batched K=32 f32 program over-allocates HBM at COMPILE time
+            # (args 11.2 G + 3.2 G update temps — r05 exp_update v2 logs),
+            # and even where batched K=32 compiles (bf16, 25.1 ms) four K=8
+            # calls are faster (4 x 3.4 = 13.6 ms).  Chunking also caps the
+            # per-K jit cache at {1, 2, 4, 8}.
+            for s in range(0, int(idx.size), self.update_voices_chunk):
+                e = min(s + self.update_voices_chunk, int(idx.size))
+                self.update_voices(idx[s:e], new_irs[s:e])
+            return
         # bucket K to the next power of two by REPEATING the last entry —
         # scatter/slab writes of identical rows are idempotent — so the
-        # per-shape jit cache holds at most log2(V) executables instead of
-        # one multi-GB-aliased program per distinct subset size (a second
+        # per-shape jit cache holds at most log2(chunk) executables instead
+        # of one multi-GB-aliased program per distinct subset size (a second
         # traced K next to the live state OOM'd a V=128 chip in
         # benchmarks/exp_update)
         k_pad = 1 << (int(idx.size) - 1).bit_length()

@@ -268,6 +268,21 @@ def test_reverb_farm_update_voices_subset_and_contracts():
             y[:, voice].reshape(-1), r, atol=1e-5, err_msg=f"voice {voice}"
         )
 
+    # chunked slab path (K > update_voices_chunk splits into consecutive
+    # <=chunk calls — the production escape from the batched large-K
+    # compile-OOM, r05 exp_update v2): force chunk=2 so K=3 exercises it
+    # on the small farm, and pin equivalence against one batched call.
+    d = farm.clone()
+    e2 = farm.clone()
+    _ = d.process(x[:t]); _ = e2.process(x[:t])
+    d.update_voices_chunk = 2
+    d.update_voices([0, 2, 3], new_irs[[0, 2, 3]])
+    e2.update_voices([0, 2, 3], new_irs[[0, 2, 3]])
+    np.testing.assert_allclose(
+        np.asarray(d.process(x[t:])), np.asarray(e2.process(x[t:])),
+        atol=1e-6,
+    )
+
     with pytest.raises(ValueError, match="distinct"):
         farm.update_voices([1, 1], new_irs[:2])
     with pytest.raises(ValueError, match="range"):
