@@ -245,12 +245,17 @@ class PallasStreamingConvolver:
     """
 
     # Padded segment count at/above which the grid-streaming kernel's
-    # packed-bf16 IR tables beat f32 under storage="auto": the kernel
+    # packed-bf16 IR tables beat f32 under storage="auto".  The kernel
     # streams the whole table from HBM every block, so packing halves the
-    # dominant traffic, but the unpack adds VPU issue that wins at
-    # smaller N.  Measured crossover on TPU v5e
-    # (benchmarks/exp_packed_crossover, results/r04).
-    PACKED_MIN_SEGS = 8192
+    # dominant traffic; interleaved same-window A/Bs (f32/packed
+    # alternating within one window — the methodology that killed the
+    # r03-vs-r04 cross-run disagreement) show packed winning the median
+    # at EVERY measured N (2048, 4096, 7680, 11264 segments:
+    # benchmarks/exp_packed_interleaved, results/r05), so the crossover
+    # is 0: auto always packs the streamed table.  Kept as an attribute
+    # so deployments that must keep exact-f32 tables can raise it (or
+    # pass storage="float32").
+    PACKED_MIN_SEGS = 0
 
     def __init__(self, response, block_size: int, max_response_length: int,
                  chunk: int = 512, interpret: bool | None = None,

@@ -325,9 +325,11 @@ def test_pallas_streaming_packed_matches_f32():
 
 
 def test_serving_storage_auto_policy():
-    """storage='auto' picks f32 wherever it fits VMEM (measured faster
-    in-VMEM), packed where only packed fits; the grid streamer keys on
-    its measured segment-count crossover (PACKED_MIN_SEGS)."""
+    """storage='auto': the fused engine picks f32 wherever it fits VMEM
+    (exact tables; packed only buys capacity there), packed where only
+    packed fits; the grid streamer always packs — interleaved same-window
+    A/Bs showed packed winning the median at every measured N
+    (results/r05/exp_packed_interleaved.log, PACKED_MIN_SEGS = 0)."""
     from fft_convolution_tpu import serving
 
     rng = np.random.default_rng(80)
@@ -346,7 +348,7 @@ def test_serving_storage_auto_policy():
 
     s_small = serving.PallasStreamingConvolver(ir_small, 128, len(ir_small),
                                                storage="auto")
-    assert not s_small._packed
+    assert s_small._packed
     s_big = serving.PallasStreamingConvolver(ir_small, 128, 30 * sr,
                                              storage="auto")
     assert s_big._packed and \

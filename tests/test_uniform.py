@@ -144,6 +144,48 @@ def test_update_shrinks_active_segments():
     np.testing.assert_allclose(y, expected, atol=1e-5)
 
 
+def test_update_midstream_keeps_history_analytic_golden():
+    """Mid-stream multi-segment update against an ANALYTIC golden — a
+    case the equivalence suites miss (``test_update_is_reset`` is
+    single-segment, where kept history reduces to the cleared overlap).
+
+    Reference contract (``src/fft_convolver.rs:174-213``): the input
+    spectra ring is KEPT — past input keeps convolving with the NEW IR —
+    while the one-block OLA ``overlap`` is cleared, so the first
+    post-update block is missing the spill of every
+    (input block ``t-B-iB``, segment ``i``) pair into block ``t``.
+
+    The update IR is zero-padded to the full init length: init makes all
+    ``seg_count`` partitions live (``:117-118``), so a shorter update
+    changes ``active_seg_count`` and the kept ring re-indexes modulo the
+    new count (``:244-249``) — the reference's own scrambled transient,
+    reproduced here but not analytically golden-able (covered by the
+    stream-vs-sequential equivalence in test_stream_paths/fuzz).
+    """
+    rng = np.random.default_rng(17)
+    B, maxr = 128, 768          # 6 partitions, all live after init
+    ir = rng.standard_normal(512).astype(np.float32) * 0.05
+    ir2 = rng.standard_normal(520).astype(np.float32) * 0.05
+    n_pre, n_post = 8 * B, 8 * B
+    x = rng.standard_normal(n_pre + n_post).astype(np.float32)
+
+    eng = FFTConvolver(ir, B, maxr)
+    _ = eng.process(x[:n_pre])
+    eng.update(np.pad(ir2, (0, maxr - ir2.size)))   # active stays 6
+    y = np.asarray(eng.process(x[n_pre:]))
+
+    g = np.convolve(x.astype(np.float64), ir2.astype(np.float64))
+    g = g[n_pre : n_pre + n_post]
+    spill = np.zeros(B - 1)
+    for i in range(maxr // B):
+        seg = np.zeros(B)
+        seg[: max(0, min(B, ir2.size - i * B))] = ir2[i * B : (i + 1) * B]
+        lo = n_pre - B - i * B
+        spill += np.convolve(x[lo : lo + B].astype(np.float64), seg)[B:]
+    g[: B - 1] -= spill
+    np.testing.assert_allclose(y, g, atol=1e-5)
+
+
 def test_block_size_rounded_to_power_of_two():
     """block_size 100 rounds to 128 (``src/fft_convolver.rs:115``); results
     must still match a pow2-constructed engine."""
