@@ -446,10 +446,14 @@ def main() -> None:
     # vs 0.229 ms) while captured runs drew a 2x contention lottery — keep
     # drawing spaced windows until the kept slope is plausible
     anchor_s = (floor_s / 0.5) * 1.5
+    # 60 s spacing: contention windows last MINUTES — the r05 capture's 9
+    # draws at 30 s spacing all landed in one contended stretch (slopes
+    # 607-869 us, anchor 345 never reached, bench.log); wider spacing
+    # buys window diversity for the same draw count
     wall, (t_1, t_2) = slope_timed(build_stream_runner, c1, c2, "stream xRT",
                                    samples=4, min_slope_s=floor_s,
-                                   sample_pause_s=30.0,
-                                   anchor_s=anchor_s, anchor_extra=5)
+                                   sample_pause_s=60.0,
+                                   anchor_s=anchor_s, anchor_extra=6)
     audio = t_blocks * block / sr
     xrt = audio / wall
     log(f"stream: {wall*1e3:.3f} ms device time per {audio:.2f} s audio "
