@@ -63,6 +63,13 @@ def main():
 
     compiled = chained.lower((st_c, chrono), x, khats).compile()
     txt = compiled.as_text()
+    if "--dump-copies" in sys.argv:
+        # full HLO lines of the copy/bitcast ops — names what the mined
+        # unattributed %copy.* entries actually move (shape + operand)
+        for line in txt.splitlines():
+            if re.search(r"%copy[.\d]* = ", line):
+                print(line.strip()[:360], flush=True)
+        return
     pat = re.compile(r'"estimated_cycles":"?(\d+)"?')
     rows = []
     for line in txt.splitlines():
