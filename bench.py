@@ -215,8 +215,11 @@ def main() -> None:
             first stream's output head for the correctness gate."""
             def body(cr, i):
                 s, chr_ = cr
+                # assume_clean_small mirrors the wrapper's production
+                # default (host _small_full shadow; fresh init is clean)
                 s2, chr2, y = two_stage.process_stream_aligned(
-                    cfg, s, xs, khats=kh, tail_chrono=chr_)
+                    cfg, s, xs, khats=kh, tail_chrono=chr_,
+                    assume_clean_small=True)
                 return (s2, chr2), (
                     jnp.sum(y), jnp.where(i == 0, y.reshape(-1)[:n_check], 0.0)
                 )

@@ -185,8 +185,11 @@ def config3_two_stage_30s():
 
     def run(carry, xs, kh):
         st, chr_ = carry
+        # assume_clean_small: the wrapper's production default off its
+        # _small_full host shadow (fresh-init states are always clean)
         st, chr_, y = two_stage.process_stream_aligned(
-            cfg, st, xs, khats=kh, tail_chrono=chr_)
+            cfg, st, xs, khats=kh, tail_chrono=chr_,
+            assume_clean_small=True)
         return (st, chr_), y
 
     wall = _chain_time(run, (st_c, chrono), x, aux=khats, samples=3)

@@ -52,10 +52,13 @@ def main() -> None:
         # A/B the big-tail core same-window: policy khats (scan tail below
         # the q*N >= TAIL_CONV_RATIO*m threshold, ratio 5 as shipped) vs a
         # FORCED tail khat (conv-core tail)
-        for name, force in (("policy", False), ("conv-tail", True),
-                            ("chrono", None)):
+        variants = (("policy", False), ("conv-tail", True), ("chrono", None),
+                    ("chrono-st", None))
+        if "--static-only" in sys.argv:
+            variants = (("chrono", None), ("chrono-st", None))
+        for name, force in variants:
             st0 = jax.tree.map(jnp.copy, state)
-            if name == "chrono":
+            if name.startswith("chrono"):
                 # CHRONO sliding-window tail (glue-free conv core every T).
                 # The chained-timing scan cannot host-route compaction, so
                 # the buffer is sized for the whole chain (18 iters +
@@ -77,10 +80,13 @@ def main() -> None:
                 st_c, chrono = jax.jit(functools.partial(
                     two_stage.tail_to_chrono, cfg, h_cap=h_cap))(st0)
 
-                def run_chrono(carry, xs, kh):
+                assume = name == "chrono-st"  # statically-clean fused smalls
+
+                def run_chrono(carry, xs, kh, _asm=assume):
                     st, chr_ = carry
                     st, chr_, y = two_stage.process_stream_aligned(
-                        cfg, st, xs, khats=kh, tail_chrono=chr_)
+                        cfg, st, xs, khats=kh, tail_chrono=chr_,
+                        assume_clean_small=_asm)
                     return (st, chr_), y
 
                 wall = _chain_time(run_chrono, (st_c, chrono), x,

@@ -50,12 +50,15 @@ def main():
     st_c, chrono = jax.jit(functools.partial(
         two_stage.tail_to_chrono, cfg, h_cap=h_cap))(state)
 
+    assume = "--assume" in sys.argv  # statically-clean fused small streams
+
     @functools.partial(jax.jit, donate_argnums=(0,))
     def chained(carry, xs, kh):
         def body(c, _):
             st, chr_ = c
             st, chr_, y = two_stage.process_stream_aligned(
-                cfg, st, xs, khats=kh, tail_chrono=chr_)
+                cfg, st, xs, khats=kh, tail_chrono=chr_,
+                assume_clean_small=assume)
             return (st, chr_), jnp.sum(y)
 
         cf, sums = jax.lax.scan(body, carry, None, length=2)

@@ -30,8 +30,9 @@ def _jit_stream(cfg: two_stage.TwoStageConfig):
 
 
 @functools.lru_cache(maxsize=None)
-def _jit_stream_aligned(cfg: two_stage.TwoStageConfig):
-    return jax.jit(functools.partial(two_stage.process_stream_aligned, cfg))
+def _jit_stream_aligned(cfg: two_stage.TwoStageConfig, assume_clean: bool = False):
+    return jax.jit(functools.partial(two_stage.process_stream_aligned, cfg,
+                                     assume_clean_small=assume_clean))
 
 
 @functools.lru_cache(maxsize=None)
@@ -41,11 +42,13 @@ def _jit_stream_khats(cfg: two_stage.TwoStageConfig):
 
 
 @functools.lru_cache(maxsize=None)
-def _jit_stream_aligned_chrono(cfg: two_stage.TwoStageConfig):
+def _jit_stream_aligned_chrono(cfg: two_stage.TwoStageConfig,
+                               assume_clean: bool = False):
     # the (hist, pos) pair is donated so the per-call T-row history write
     # is in place — an undonated [h_cap, 2, tb] buffer would copy whole
     # per call, re-paying the glue the CHRONO convention removes
-    return jax.jit(functools.partial(two_stage.process_stream_aligned, cfg),
+    return jax.jit(functools.partial(two_stage.process_stream_aligned, cfg,
+                                     assume_clean_small=assume_clean),
                    donate_argnames=("tail_chrono",))
 
 
@@ -110,6 +113,14 @@ class TwoStageFFTConvolver:
         self._tail_chrono = None
         self._tail_pos = 0
         self._tail_full = self.cfg.tail is not None
+        # host shadow of the aligned path's full-clean-ring guard on the
+        # fused small streams: init pads the IR to every stage's capacity,
+        # so BOTH small stages are fully active from the start and stay so
+        # until an update shrinks them — statically known, so the safety
+        # cond (and its compiled fallback subtree, a fusion barrier on the
+        # op-count-bound short call) is elided at trace time when True
+        self._small_full = (self.cfg.tail0 is not None
+                            and self.cfg.head == self.cfg.tail0)
         self._chrono_h_cap = (
             uniform.chrono_capacity(self.cfg.tail)
             if self.cfg.tail is not None and self.cfg.tail.seg_count > 1
@@ -156,6 +167,18 @@ class TwoStageFFTConvolver:
             t_len = max(response.shape[0] - 2 * self.cfg.tail_block, 0)
             active = -(-t_len // self.cfg.tail_block)
             self._tail_full = active == self.cfg.tail.seg_count
+        # the fused-small-streams clean shadow: a shorter IR shrinks the
+        # small stages' active counts (uniform.update re-derives them from
+        # new_len) and the runtime-guarded program takes over
+        if self.cfg.tail0 is not None and self.cfg.head == self.cfg.tail0:
+            b = self.cfg.head_block
+            n_len = response.shape[0]
+            h_act = -(-min(n_len, self.cfg.head.ir_len) // b)
+            t0_len = min(max(n_len - self.cfg.tail_block, 0),
+                         self.cfg.tail0.ir_len)
+            t0_act = -(-t0_len // b)
+            self._small_full = (h_act == self.cfg.head.seg_count
+                                and t0_act == self.cfg.tail0.seg_count)
 
     def _exit_chrono(self) -> None:
         """Convert the big tail back to the standard ring before any
@@ -236,7 +259,7 @@ class TwoStageFFTConvolver:
             self._khat_cache[khat_key] = khats
         if not use_chrono:
             self._exit_chrono()
-            self.state, y = _jit_stream_aligned(self.cfg)(
+            self.state, y = _jit_stream_aligned(self.cfg, self._small_full)(
                 self.state, jnp.reshape(x, (-1, b)), khats=khats
             )
             return y
@@ -251,7 +274,7 @@ class TwoStageFFTConvolver:
             self._tail_chrono = _jit_tail_compact(self.cfg)(self._tail_chrono)
             self._tail_pos = n_t - 1
         self.state, self._tail_chrono, y = _jit_stream_aligned_chrono(
-            self.cfg
+            self.cfg, self._small_full
         )(self.state, jnp.reshape(x, (-1, b)), khats=khats,
           tail_chrono=self._tail_chrono)
         self._tail_pos += q
@@ -285,12 +308,26 @@ class TwoStageFFTConvolver:
         # session, and the live chrono hist buffer is DONATED by the next
         # process call (a chrono-mode snapshot would alias freed memory)
         self._exit_chrono()
-        return (self.state, self._fill, self._period_fill, self._tail_full)
+        return (self.state, self._fill, self._period_fill, self._tail_full,
+                self._small_full)
 
     def restore(self, snap) -> None:
         self._tail_chrono = None
         self._tail_pos = 0
-        self.state, self._fill, self._period_fill, self._tail_full = snap
+        if len(snap) == 4:
+            # pre-r05 snapshot without the clean shadow: recompute it from
+            # the snapshot's own ring scalars (cold path, 3 scalar fetches)
+            st = snap[0]
+            full = self.cfg.tail0 is not None and self.cfg.head == self.cfg.tail0
+            if full:
+                n_h = self.cfg.head.seg_count
+                full = (int(st.head.active_segs) == n_h
+                        and int(st.tail0.active_segs) == n_h
+                        and int(st.head.current) == int(st.tail0.current)
+                        and int(st.head.current) < n_h)
+            snap = (*snap, full)
+        (self.state, self._fill, self._period_fill, self._tail_full,
+         self._small_full) = snap
         # the snapshot may carry different stage tables than the cached khats
         self._khat_cache.clear()
 
@@ -306,6 +343,7 @@ class TwoStageFFTConvolver:
         other._tail_chrono = None
         other._tail_pos = 0
         other._tail_full = self._tail_full
+        other._small_full = self._small_full
         other._chrono_h_cap = self._chrono_h_cap
         # own cache: an update on either must not leave the other reading
         # khats of the wrong tables

@@ -730,6 +730,7 @@ def process_stream_aligned(cfg: TwoStageConfig, state: TwoStageState,
                            khats=None,
                            fuse_small: bool = True,
                            tail_chrono=None,
+                           assume_clean_small: bool = False,
                            ) -> Tuple[TwoStageState, jnp.ndarray]:
     """Period-aligned batched streaming — the TPU-native throughput path.
 
@@ -804,7 +805,21 @@ def process_stream_aligned(cfg: TwoStageConfig, state: TwoStageState,
     # separate streams for shrunk/ragged engines
     fuse = (fuse_small and default_small and cfg.tail0 is not None
             and cfg.head == cfg.tail0)
-    if fuse:
+    if fuse and assume_clean_small:
+        # STATIC clean specialization: the wrapper's host shadows prove the
+        # full-clean-ring precondition (both small stages fully active since
+        # init — init pads the IR to every stage's capacity — and no
+        # shrinking update since), so the safety cond AND the entire
+        # separate-streams fallback subtree are elided at trace time.  The
+        # cond is a fusion barrier and a sync point: short aligned calls are
+        # OP-COUNT-bound (~450 flat-profile HLO ops at ~1 µs of
+        # issue+dependency latency each — results/r05/exp_cost_config3_8p),
+        # and the cond's boundary tuple copies + the compiled-but-untaken
+        # branch are pure overhead when the predicate is statically known.
+        head_state, tail0_state, y, new_precalc0, new_output0 = (
+            _fused_small_streams(cfg, state.head, state.tail0, blocks,
+                                 state.tail_precalc0, khats))
+    elif fuse:
         n_h = cfg.head.seg_count
         clean = ((state.head.active_segs == n_h)
                  & (state.tail0.active_segs == n_h)

