@@ -522,16 +522,13 @@ def test_wrapper_small_full_shadow_routing():
     short = ir[: c.cfg.tail_block // 2]     # shrinks the small stages
     c.update_extension(short)
     assert not c._small_full
-    c2 = TwoStageFFTConvolver(short, 64, len(ir))  # pristine same-IR engine
-    # drive BOTH to the same post-warmup state, then compare a call
+    # (a pristine same-IR engine's history differs from c's kept history
+    # by contract — compare against the sequential scan path of c itself)
     warm = rng.standard_normal(2 * p * 64).astype(np.float32)
     c.process(warm)
-    # (c's kept history differs from c2's by contract — compare against the
-    # sequential scan path of c itself instead)
     snap = c.snapshot()
     y_aligned = c.process(x)
     c.restore(snap)
-    c._small_full_saved = c._small_full
     # force the sequential per-block path for the same input
     y_seq = c._process_chunked(x)
     scale = max(float(np.abs(y_aligned).max()), 1.0)
@@ -539,4 +536,4 @@ def test_wrapper_small_full_shadow_routing():
 
     c.update_extension(ir)                  # full-length: shadow returns
     assert c._small_full
-    del y0
+    assert np.isfinite(y0).all()
